@@ -1,0 +1,270 @@
+"""Configuration tree for tpuasr.
+
+A single dataclass tree replaces both config layers of the reference (the static
+class-attribute config at rnnt_common.py:4-75 and the vendored YAML+argparse
+system at wenet/utils/config.py:18-39, train_utils.py:54-249): it is
+YAML-loadable, supports dotted-path overrides, and feeds pure functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any
+
+
+@dataclass
+class FeatureConfig:
+    """Log-mel fbank settings (reference: data/dataloader.py:15-41)."""
+
+    sample_rate: int = 48000
+    n_fft: int = 1024
+    hop_length: int = 512
+    win_length: int = 1024
+    n_mels: int = 80
+    window: str = "hamming"  # periodic hamming, torch.hamming_window parity
+    power: float = 2.0
+    center: bool = True  # reflect-pad n_fft//2 on both sides
+    amin: float = 1e-10  # AmplitudeToDB clamp
+    use_pallas: bool = True  # Pallas MXU kernel on TPU, jnp elsewhere
+
+
+@dataclass
+class EncoderConfig:
+    """Conformer encoder (reference: model/rnnt_model.py:90-109,
+    model/online_rnnt_model.py:85-107, wenet/transformer/encoder.py:437-551)."""
+
+    input_size: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 1024
+    num_blocks: int = 12
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"  # linear | conv2d | conv2d6 | conv2d8
+    pos_enc_layer_type: str = "rel_pos"  # abs_pos | rel_pos | no_pos
+    normalize_before: bool = True
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    # layer_norm on TPU by default: batch_norm needs cross-replica sync under DP
+    # (reference uses batch_norm, wenet/transformer/convolution.py:77-81; the
+    # norm type is configurable there too).
+    cnn_module_norm: str = "layer_norm"
+    causal: bool = False
+    activation_type: str = "swish"
+    # streaming / chunk training (wenet/utils/mask.py:126-198)
+    static_chunk_size: int = 0
+    use_dynamic_chunk: bool = False
+    use_dynamic_left_chunk: bool = False
+    max_chunk_size: int = 25  # dynamic-chunk cap: 100 frames / subsampling 4
+    max_len: int = 5000  # positional-encoding table length
+    gradient_checkpointing: bool = False
+
+
+@dataclass
+class PredictorConfig:
+    """LSTM predictor (reference: model/component/predictor.py:11-98)."""
+
+    embed_size: int = 256
+    hidden_size: int = 256
+    output_size: int = 256
+    num_layers: int = 1
+    embed_dropout: float = 0.0
+    dropout: float = 0.1
+
+
+@dataclass
+class JointConfig:
+    """Additive joint network (reference: model/component/joint.py:7-69)."""
+
+    join_dim: int = 256
+    prejoin_linear: bool = True
+    postjoin_linear: bool = False
+    joint_mode: str = "add"
+    activation: str = "tanh"
+
+
+@dataclass
+class CTCModelConfig:
+    """Small CTC conformer (reference: model/model.py:262-305)."""
+
+    input_size: int = 80
+    hidden_dim: int = 256
+    attention_heads: int = 8
+    num_blocks: int = 3
+    ffn_factor: int = 4
+    dropout_rate: float = 0.1
+    subsampling: str = "conv2d8"
+    kernel_size: int = 31
+
+
+@dataclass
+class ModelConfig:
+    vocab_size: int = 412  # 406 pinyin syllables + 6 specials
+    blank_id: int = 5  # <blk> (tokenizer/tokenizer.py:7, :59)
+    ignore_id: int = -1
+    ctc_weight: float = 0.3
+    transducer_weight: float = 0.7
+    ctc_dropout_rate: float = 0.1
+    rnnt_loss_clamp: float = -1.0
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    predictor: PredictorConfig = field(default_factory=PredictorConfig)
+    joint: JointConfig = field(default_factory=JointConfig)
+
+
+@dataclass
+class OptimConfig:
+    """Adam + linear warmup + plateau decay (reference: run.py:29-45,
+    rnnt_train.py:44-56, rnnt_common.py:7-21)."""
+
+    lr: float = 1e-4
+    betas: tuple = (0.9, 0.98)
+    eps: float = 1e-8
+    weight_decay: float = 1e-4
+    amsgrad: bool = True
+    warmup_steps: int = 4000
+    grad_clip: float = 1.0
+    accum_steps: int = 1
+    # ReduceLROnPlateau(factor, patience) on test loss
+    plateau_factor: float = 0.5
+    plateau_patience: int = 2
+    min_lr: float = 1e-6
+
+
+@dataclass
+class DataConfig:
+    train_wav_scp: str = "dataset/split/train/wav.scp"
+    train_text: str = "dataset/split/train/pinyin"
+    dev_wav_scp: str = "dataset/split/dev/wav.scp"
+    dev_text: str = "dataset/split/dev/pinyin"
+    test_wav_scp: str = "dataset/split/test/wav.scp"
+    test_text: str = "dataset/split/test/pinyin"
+    vocab_file: str = "tokenizer/vocab.txt"
+    batch_size: int = 12
+    # static-shape length bucketing: (max_frames, max_tokens) buckets
+    frame_buckets: tuple = (256, 512, 768, 1024, 1536)
+    token_buckets: tuple = (16, 32, 48, 64)
+    shuffle_seed: int = 0
+    num_prefetch: int = 2
+
+
+@dataclass
+class StreamingConfig:
+    """Chunk streaming (reference: rnnt_common.py:16-18,
+    model/online_rnnt_model.py:274-344)."""
+
+    chunk_size: int = 32  # encoder frames per chunk
+    num_left_chunks: int = 6
+    n_steps: int = 10  # max non-blank emissions per frame
+    beam_size: int = 4
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 50
+    seed: int = 2026
+    log_every: int = 50
+    save_every_epochs: int = 5
+    save_dir: str = "exp"
+    log_dir: str = "exp/tb"
+    dtype: str = "bfloat16"  # compute dtype; params stay float32
+    donate: bool = True
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh axes. data: batch sharding (DP); model: joint-tensor /
+    vocab sharding (TP) when (T,U,V) exceeds HBM (BASELINE.json north star)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclass
+class Config:
+    feature: FeatureConfig = field(default_factory=FeatureConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    ctc_model: CTCModelConfig = field(default_factory=CTCModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    streaming: StreamingConfig = field(default_factory=StreamingConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+# ---------------------------------------------------------------------------
+# dict / yaml / override plumbing
+# ---------------------------------------------------------------------------
+
+def to_dict(cfg: Any) -> Any:
+    if is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def from_dict(cls, d: dict):
+    """Build a dataclass tree from a (possibly partial) nested dict."""
+    kwargs = {}
+    for f in fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = from_dict(f.type, v)
+        elif dataclasses.is_dataclass(_resolve_type(cls, f.name)):
+            kwargs[f.name] = from_dict(_resolve_type(cls, f.name), v)
+        else:
+            kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+    return cls(**kwargs)
+
+
+def _resolve_type(cls, name):
+    for f in fields(cls):
+        if f.name == name:
+            default = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default
+            return type(default)
+    raise KeyError(name)
+
+
+def override(cfg: Config, overrides: dict[str, Any]) -> Config:
+    """Apply dotted-path overrides, e.g. {"model.encoder.num_blocks": 6}.
+
+    Parity with wenet's `override_config` (wenet/utils/config.py:18-39) but
+    type-checked against the dataclass tree.
+    """
+    d = to_dict(cfg)
+    for path, value in overrides.items():
+        node = d
+        *parents, leaf = path.split(".")
+        for p in parents:
+            node = node[p]
+        if leaf not in node:
+            raise KeyError(f"unknown config key: {path}")
+        node[leaf] = value
+    return from_dict(Config, d)
+
+
+def load_yaml(path: str) -> Config:
+    import yaml  # PyYAML ships with the baked-in deps
+
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    return from_dict(Config, d)
+
+
+def save_yaml(cfg: Config, path: str) -> None:
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+
+
+def summarize(cfg: Config) -> str:
+    """Human-readable dump (parity: rnnt_common.Config.print_config)."""
+    return json.dumps(to_dict(cfg), indent=2, default=str)

@@ -1,0 +1,123 @@
+"""Multi-head attention with wenet-style relative positional bias.
+
+Parity: wenet/transformer/attention.py:29-438. The rel-pos variant implements
+Transformer-XL u/v biases with `rel_shift` disabled (attention.py:407-409 —
+wenet removes it for streaming), so the positional term is
+``(q + pos_bias_v) @ linear_pos(PE_keys)^T`` where PE indexes the absolute
+positions of the keys. That makes chunked streaming exactly equal to the
+full-context forward as long as key PE windows line up (encoder.py:257).
+
+Streaming KV cache: callers pass a fixed-capacity right-aligned (k, v) cache
+(newest frames last) plus a validity count; this module concatenates, scores
+against the whole window, and returns the updated window for the caller to
+re-trim — the static-shape equivalent of wenet `_update_kv_and_cache`
+(attention.py:180-215).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_NEG_INF = -1.0e9
+
+
+def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Softmax over the last axis with True=attend mask; fully-masked rows
+    produce zero attention (wenet forward_attention double-fill semantics)."""
+    if mask is None:
+        return nn.softmax(scores, axis=-1)
+    neg = jnp.asarray(_NEG_INF, scores.dtype)
+    scores = jnp.where(mask, scores, neg)
+    attn = nn.softmax(scores, axis=-1)
+    return jnp.where(mask, attn, 0)
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """Self-attention with u/v positional biases (no rel_shift)."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.n_feat % self.n_head == 0
+        self.d_k = self.n_feat // self.n_head
+        dense = lambda name, use_bias=True: nn.Dense(
+            self.n_feat, use_bias=use_bias, dtype=self.dtype, name=name
+        )
+        self.linear_q = dense("linear_q")
+        self.linear_k = dense("linear_k")
+        self.linear_v = dense("linear_v")
+        self.linear_out = dense("linear_out")
+        self.linear_pos = dense("linear_pos", use_bias=False)
+        init = nn.initializers.xavier_uniform()
+        self.pos_bias_u = self.param("pos_bias_u", init, (self.n_head, self.d_k))
+        self.pos_bias_v = self.param("pos_bias_v", init, (self.n_head, self.d_k))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T1, D] (self-attention input)
+        mask: Optional[jnp.ndarray],  # [B, T1|1, T2] bool True=attend, or None
+        pos_emb: jnp.ndarray,  # [1|B, T2, D] PE of key absolute positions
+        cache: Optional[tuple[jnp.ndarray, jnp.ndarray]] = None,  # ([B,A,H,dk], [B,A,H,dk])
+        deterministic: bool = True,
+    ):
+        b, t1, _ = x.shape
+        h, dk = self.n_head, self.d_k
+
+        q = self.linear_q(x).reshape(b, t1, h, dk)
+        k = self.linear_k(x).reshape(b, t1, h, dk)
+        v = self.linear_v(x).reshape(b, t1, h, dk)
+        if cache is not None:
+            k = jnp.concatenate([cache[0], k], axis=1)  # [B, A+T1, H, dk]
+            v = jnp.concatenate([cache[1], v], axis=1)
+        new_cache = (k, v)
+        t2 = k.shape[1]
+
+        p = self.linear_pos(pos_emb).reshape(pos_emb.shape[0], t2, h, dk)
+
+        q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
+        q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
+        # content score (matrix a+c) and position score (matrix b+d, no shift)
+        ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
+        bd = jnp.einsum("bthd,pshd->bhts", q_v, p)  # p batch dim broadcasts
+        scores = (ac + bd) / math.sqrt(dk)
+
+        attn = masked_softmax(scores, None if mask is None else mask[:, None])
+        if self.dropout_rate > 0:
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t1, h * dk)
+        return self.linear_out(out), new_cache
+
+
+class MultiHeadedAttention(nn.Module):
+    """Plain scaled dot-product MHA (abs-pos encoders; pos_emb ignored)."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, pos_emb=None, cache=None, deterministic=True):
+        b, t1, _ = x.shape
+        h = self.n_head
+        dk = self.n_feat // h
+        q = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(x).reshape(b, t1, h, dk)
+        k = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_k")(x).reshape(b, t1, h, dk)
+        v = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_v")(x).reshape(b, t1, h, dk)
+        if cache is not None:
+            k = jnp.concatenate([cache[0], k], axis=1)
+            v = jnp.concatenate([cache[1], v], axis=1)
+        new_cache = (k, v)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(dk)
+        attn = masked_softmax(scores, None if mask is None else mask[:, None])
+        if self.dropout_rate > 0:
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t1, h * dk)
+        return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(out), new_cache

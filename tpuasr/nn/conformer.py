@@ -1,0 +1,288 @@
+"""Conformer encoder: full-context / chunk-masked training forward and the
+fixed-shape streaming `forward_chunk`.
+
+Parity contracts (re-designed for XLA static shapes, not transliterated):
+
+- training forward — wenet/transformer/encoder.py:121-180: pad mask →
+  subsample+embed → optional dynamic/static chunk mask → layer stack → final LN;
+- layer order — wenet/transformer/encoder_layer.py:130-265: ½FF(macaron) →
+  rel-pos MHA → conv module → ½FF → final LN, pre-norm residuals;
+- streaming — wenet encoder.py:203-299 `forward_chunk`, with one structural
+  change: the attention cache is a *fixed-capacity* right-aligned ring window
+  [L, B, A, H, dk] (A = chunk_size * num_left_chunks) with a validity counter,
+  instead of wenet's dynamically growing tensor, so every chunk step compiles
+  once. Key positions are recovered from the stream offset and clamped; the
+  invalid left slots are masked out of the softmax. Chunked output equals the
+  full-context chunk-masked forward exactly (see tests/test_streaming.py).
+
+Batching: unlike the reference (b=1 assert, encoder.py:252), all streaming
+entry points are batched — B parallel streams advance in lockstep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpuasr.config import EncoderConfig
+from tpuasr.nn.attention import MultiHeadedAttention, RelPositionMultiHeadedAttention
+from tpuasr.nn.convolution import ConvolutionModule
+from tpuasr.nn.embedding import PositionalEncodingTable
+from tpuasr.nn.masks import add_optional_chunk_mask, make_pad_mask
+from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES, subsampled_mask
+
+
+def swish(x):
+    return x * nn.sigmoid(x)
+
+
+ACTIVATIONS = {"swish": swish, "relu": nn.relu, "gelu": nn.gelu}
+
+
+class PositionwiseFeedForward(nn.Module):
+    hidden: int
+    out: int
+    dropout_rate: float
+    activation: str = "swish"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="w_1")(x)
+        y = ACTIVATIONS[self.activation](y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return nn.Dense(self.out, dtype=self.dtype, name="w_2")(y)
+
+
+class ConformerBlock(nn.Module):
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        d = c.output_size
+        ffn = lambda name: PositionwiseFeedForward(
+            c.linear_units, d, c.dropout_rate, c.activation_type, self.dtype, name=name
+        )
+        if c.macaron_style:
+            self.feed_forward_macaron = ffn("feed_forward_macaron")
+            self.norm_ff_macaron = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")
+        self.feed_forward = ffn("feed_forward")
+        if c.pos_enc_layer_type == "rel_pos":
+            self.self_attn = RelPositionMultiHeadedAttention(
+                c.attention_heads, d, c.attention_dropout_rate, self.dtype, name="self_attn"
+            )
+        else:
+            self.self_attn = MultiHeadedAttention(
+                c.attention_heads, d, c.attention_dropout_rate, self.dtype, name="self_attn"
+            )
+        self.norm_mha = nn.LayerNorm(dtype=self.dtype, name="norm_mha")
+        self.norm_ff = nn.LayerNorm(dtype=self.dtype, name="norm_ff")
+        if c.use_cnn_module:
+            self.conv_module = ConvolutionModule(
+                d, c.cnn_module_kernel, c.cnn_module_norm, c.causal, dtype=self.dtype,
+                name="conv_module",
+            )
+            self.norm_conv = nn.LayerNorm(dtype=self.dtype, name="norm_conv")
+            self.norm_final = nn.LayerNorm(dtype=self.dtype, name="norm_final")
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        att_mask: Optional[jnp.ndarray],
+        pos_emb: jnp.ndarray,
+        mask_pad: Optional[jnp.ndarray] = None,
+        att_cache=None,
+        cnn_cache=None,
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        ff_scale = 0.5 if c.macaron_style else 1.0
+        drop = lambda y: nn.Dropout(c.dropout_rate)(y, deterministic=deterministic)
+
+        if c.macaron_style:
+            x = x + ff_scale * drop(
+                self.feed_forward_macaron(self.norm_ff_macaron(x), deterministic)
+            )
+
+        att_in = self.norm_mha(x)
+        x_att, new_att_cache = self.self_attn(
+            att_in, att_mask, pos_emb, att_cache, deterministic
+        )
+        x = x + drop(x_att)
+
+        new_cnn_cache = None
+        if c.use_cnn_module:
+            y, new_cnn_cache = self.conv_module(
+                self.norm_conv(x), mask_pad, cnn_cache, deterministic
+            )
+            x = x + drop(y)
+
+        x = x + ff_scale * drop(self.feed_forward(self.norm_ff(x), deterministic))
+
+        if c.use_cnn_module:
+            x = self.norm_final(x)
+        return x, new_att_cache, new_cnn_cache
+
+
+@dataclass
+class EncoderStreamState:
+    """Pytree of fixed-shape streaming caches for one batch of streams.
+
+    att_k/att_v: [L, B, A, H, dk] right-aligned (newest last), A = capacity.
+    cnn:        [L, B, lorder, D] post-GLU left context per conv module.
+    offset:     [] int32 — encoder frames consumed so far (shared by batch).
+    """
+
+    att_k: jnp.ndarray
+    att_v: jnp.ndarray
+    cnn: jnp.ndarray
+    offset: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    EncoderStreamState,
+    data_fields=["att_k", "att_v", "cnn", "offset"],
+    meta_fields=[],
+)
+
+
+class ConformerEncoder(nn.Module):
+    """Stack of conformer blocks over a conv-subsampled input."""
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed = SUBSAMPLE_CLASSES[c.input_layer](c.output_size, self.dtype, name="embed")
+        self.pe = PositionalEncodingTable(c.output_size, c.max_len)
+        self.blocks = [
+            ConformerBlock(c, self.dtype, name=f"block{i}") for i in range(c.num_blocks)
+        ]
+        self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
+
+    @property
+    def subsampling_rate(self) -> int:
+        return SUBSAMPLE_CLASSES[self.cfg.input_layer].subsampling_rate
+
+    @property
+    def right_context(self) -> int:
+        return SUBSAMPLE_CLASSES[self.cfg.input_layer].right_context
+
+    def __call__(
+        self,
+        xs: jnp.ndarray,  # [B, T, F]
+        xs_lens: jnp.ndarray,  # [B]
+        decoding_chunk_size: int = 0,
+        num_decoding_left_chunks: int = -1,
+        chunk_rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        """Full/chunk-masked forward -> (ys [B, T', D], pad_mask [B, 1, T'])."""
+        c = self.cfg
+        b, t, _ = xs.shape
+        masks = ~make_pad_mask(xs_lens, t)[:, None, :]  # [B, 1, T] True=valid
+        ys = self.embed(xs)
+        masks = subsampled_mask(masks, c.input_layer)
+        ys, pos_emb = self.pe.rel(ys, 0) if c.pos_enc_layer_type == "rel_pos" else self.pe.add_abs(ys, 0)
+        ys = nn.Dropout(c.positional_dropout_rate)(ys, deterministic=deterministic)
+
+        chunk_masks = add_optional_chunk_mask(
+            masks,
+            use_dynamic_chunk=c.use_dynamic_chunk and not deterministic or
+            (c.use_dynamic_chunk and decoding_chunk_size != 0),
+            use_dynamic_left_chunk=c.use_dynamic_left_chunk,
+            decoding_chunk_size=decoding_chunk_size,
+            static_chunk_size=c.static_chunk_size,
+            num_decoding_left_chunks=num_decoding_left_chunks,
+            rng=chunk_rng,
+            max_chunk_size=c.max_chunk_size,
+        )
+        for blk in self.blocks:
+            apply = blk
+            if c.gradient_checkpointing and not deterministic:
+                apply = nn.remat(type(blk), static_argnums=(6,))(
+                    self.cfg, self.dtype, name=None
+                ) if False else blk  # remat handled at train-step level instead
+            ys, _, _ = apply(
+                ys, chunk_masks, pos_emb, masks, deterministic=deterministic
+            )
+        return self.after_norm(ys), masks
+
+    # ------------------------------------------------------------------
+    # streaming
+    # ------------------------------------------------------------------
+
+    def init_stream_state(self, batch: int, chunk_size: int, num_left_chunks: int):
+        """Zeroed fixed-shape caches for `batch` parallel streams."""
+        c = self.cfg
+        h = c.attention_heads
+        dk = c.output_size // h
+        a = chunk_size * max(num_left_chunks, 0)
+        lorder = c.cnn_module_kernel - 1 if c.causal else 0
+        z = jnp.zeros
+        return EncoderStreamState(
+            att_k=z((c.num_blocks, batch, a, h, dk), self.dtype),
+            att_v=z((c.num_blocks, batch, a, h, dk), self.dtype),
+            cnn=z((c.num_blocks, batch, lorder, c.output_size), self.dtype),
+            offset=jnp.zeros((), jnp.int32),
+        )
+
+    def forward_chunk(
+        self,
+        xs: jnp.ndarray,  # [B, window, F] raw feature window for one chunk
+        state: EncoderStreamState,
+    ) -> tuple[jnp.ndarray, EncoderStreamState]:
+        """One streaming step -> ([B, chunk, D], new state).
+
+        `window = (chunk - 1) * subsampling_rate + right_context + 1` raw
+        frames (overlapping windows; no subsampling cache — wenet
+        encoder.py:320-333).
+        """
+        c = self.cfg
+        b = xs.shape[0]
+        a = state.att_k.shape[2]  # cache capacity
+
+        ys = self.embed(xs)  # [B, chunk, D]
+        chunk = ys.shape[1]
+        if c.pos_enc_layer_type == "rel_pos":
+            ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
+            pos_emb = self.pe.position_encoding(state.offset - a, a + chunk).astype(ys.dtype)
+        else:
+            ys, _ = self.pe.add_abs(ys, state.offset)
+            pos_emb = self.pe.position_encoding(state.offset - a, a + chunk).astype(ys.dtype)
+
+        valid = jnp.minimum(state.offset, a)
+        # [1, chunk, A + chunk]: attend current chunk + valid cache slots
+        j = jnp.arange(a + chunk)[None, None, :]
+        att_mask = jnp.broadcast_to(j >= (a - valid), (b, chunk, a + chunk))
+
+        new_ks, new_vs, new_cnns = [], [], []
+        for i, blk in enumerate(self.blocks):
+            cache_i = (state.att_k[i], state.att_v[i])
+            cnn_i = state.cnn[i]
+            ys, (k_full, v_full), cnn_new = blk(
+                ys, att_mask, pos_emb,
+                mask_pad=None,
+                att_cache=cache_i,
+                cnn_cache=cnn_i,
+                deterministic=True,
+            )
+            # keep the newest A frames (window length A + chunk)
+            new_ks.append(k_full[:, chunk:] if a > 0 else k_full[:, :0])
+            new_vs.append(v_full[:, chunk:] if a > 0 else v_full[:, :0])
+            new_cnns.append(cnn_new if cnn_new is not None else cnn_i)
+
+        ys = self.after_norm(ys)
+        new_state = EncoderStreamState(
+            att_k=jnp.stack(new_ks),
+            att_v=jnp.stack(new_vs),
+            cnn=jnp.stack(new_cnns),
+            offset=state.offset + chunk,
+        )
+        return ys, new_state

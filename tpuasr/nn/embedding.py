@@ -1,0 +1,67 @@
+"""Sinusoidal positional encodings with streaming offset support.
+
+Parity: wenet/transformer/embedding.py:27-147. `PositionalEncoding` scales the
+input by sqrt(d) and adds PE[offset:offset+T]; `RelPositionalEncoding` scales
+the input and returns the PE window separately for rel-pos attention (where,
+with wenet's rel_shift disabled — attention.py:407-409 — the PE indexes the
+absolute positions of the *keys*). `position_encoding(offset, size)` supports
+traced scalar or per-batch offsets (negative clamped to 0, matching the
+batched-offset embedding-lookup path, embedding.py:101-110).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoid_table(max_len: int, d_model: int, dtype=np.float32) -> np.ndarray:
+    """[max_len, d_model]: pe[p, 2i]=sin(p/10000^(2i/d)), pe[p, 2i+1]=cos."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe.astype(dtype)
+
+
+class PositionalEncodingTable:
+    """Host-constant PE table with jit-friendly offset indexing."""
+
+    def __init__(self, d_model: int, max_len: int = 5000):
+        self.d_model = d_model
+        self.max_len = max_len
+        self.xscale = math.sqrt(d_model)
+        self.table = sinusoid_table(max_len, d_model)
+
+    def position_encoding(self, offset, size: int) -> jnp.ndarray:
+        """PE window [1, size, d] (or [B, size, d] for per-batch offsets).
+
+        `offset` may be a python int, a traced scalar, or a [B] array; indices
+        below zero clamp to 0 (those slots are always masked by callers).
+        """
+        table = jnp.asarray(self.table)
+        if isinstance(offset, int):
+            assert offset + size <= self.max_len
+            return table[offset : offset + size][None]
+        offset = jnp.asarray(offset)
+        idx = jnp.arange(size)
+        if offset.ndim == 0:
+            pos = jnp.clip(offset + idx, 0, self.max_len - 1)
+            return jnp.take(table, pos, axis=0)[None]
+        pos = jnp.clip(offset[:, None] + idx[None, :], 0, self.max_len - 1)
+        return jnp.take(table, pos, axis=0)  # [B, size, d]
+
+    def add_abs(self, x: jnp.ndarray, offset=0) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """abs_pos: return (x * xscale + PE, PE window)."""
+        pe = self.position_encoding(offset, x.shape[1]).astype(x.dtype)
+        return x * jnp.asarray(self.xscale, x.dtype) + pe, pe
+
+    def rel(self, x: jnp.ndarray, offset=0) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """rel_pos: return (x * xscale, PE window) — PE consumed by attention."""
+        pe = self.position_encoding(offset, x.shape[1]).astype(x.dtype)
+        return x * jnp.asarray(self.xscale, x.dtype), pe

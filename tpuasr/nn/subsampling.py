@@ -1,0 +1,136 @@
+"""Conv subsampling front-ends.
+
+Parity: wenet/transformer/subsampling.py:24-394 — unpadded (VALID) 2D convs
+with stride 2, exposing `subsampling_rate` and `right_context` so the
+streaming driver can compute the raw-frame window per chunk
+(decoding_window = (chunk - 1) * rate + right_context + 1,
+encoder.py:334-336). Output length for each k=3,s=2 VALID conv is
+(T - 1) // 2 - ... identical to torch's floor((T - 3)/2) + 1.
+
+No subsampling cache in streaming: chunks arrive as overlapping raw-frame
+windows (wenet's choice, encoder.py:320-333) — recomputing a few conv frames
+is far cheaper than a stateful multi-rate conv cache.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class Conv2dSubsampling4(nn.Module):
+    """Two k=3,s=2 VALID Conv2d + Linear; rate 4, right_context 6."""
+
+    odim: int
+    dtype: jnp.dtype = jnp.float32
+    subsampling_rate = 4
+    right_context = 6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, F] -> [B, T', D]
+        b, t, f = x.shape
+        y = x[..., None]  # [B, T, F, 1]
+        y = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv1")(y))
+        y = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv2")(y))
+        bt, tt, ff, c = y.shape
+        y = y.reshape(bt, tt, ff * c)
+        return nn.Dense(self.odim, dtype=self.dtype, name="out")(y)
+
+    @staticmethod
+    def output_len(t):
+        return (((t - 1) // 2) - 1) // 2
+
+    @staticmethod
+    def window_for_chunk(chunk: int) -> int:
+        return (chunk - 1) * 4 + 6 + 1
+
+
+class Conv2dSubsampling6(nn.Module):
+    """k=3,s=2 then k=5,s=3; rate 6, right_context 10."""
+
+    odim: int
+    dtype: jnp.dtype = jnp.float32
+    subsampling_rate = 6
+    right_context = 10
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x[..., None]
+        y = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name="conv1")(y))
+        y = nn.relu(nn.Conv(self.odim, (5, 5), strides=(3, 3), padding="VALID",
+                            dtype=self.dtype, name="conv2")(y))
+        bt, tt, ff, c = y.shape
+        return nn.Dense(self.odim, dtype=self.dtype, name="out")(y.reshape(bt, tt, ff * c))
+
+    @staticmethod
+    def output_len(t):
+        return (((t - 1) // 2) - 2) // 3
+
+
+class Conv2dSubsampling8(nn.Module):
+    """Three k=3,s=2 convs; rate 8, right_context 14."""
+
+    odim: int
+    dtype: jnp.dtype = jnp.float32
+    subsampling_rate = 8
+    right_context = 14
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x[..., None]
+        for i in range(3):
+            y = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                                dtype=self.dtype, name=f"conv{i + 1}")(y))
+        bt, tt, ff, c = y.shape
+        return nn.Dense(self.odim, dtype=self.dtype, name="out")(y.reshape(bt, tt, ff * c))
+
+    @staticmethod
+    def output_len(t):
+        return ((((t - 1) // 2) - 1) // 2 - 1) // 2
+
+
+class LinearNoSubsampling(nn.Module):
+    """Linear embed, rate 1, right_context 0."""
+
+    odim: int
+    dtype: jnp.dtype = jnp.float32
+    subsampling_rate = 1
+    right_context = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Dense(self.odim, dtype=self.dtype, name="linear")(x)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+        return y
+
+    @staticmethod
+    def output_len(t):
+        return t
+
+
+SUBSAMPLE_CLASSES = {
+    "linear": LinearNoSubsampling,
+    "conv2d": Conv2dSubsampling4,
+    "conv2d6": Conv2dSubsampling6,
+    "conv2d8": Conv2dSubsampling8,
+}
+
+
+def subsampled_len(input_layer: str, t):
+    return SUBSAMPLE_CLASSES[input_layer].output_len(t)
+
+
+def subsampled_mask(mask: jnp.ndarray, input_layer: str) -> jnp.ndarray:
+    """Subsample a [B, 1, T] mask the way wenet slices it (e.g. [2::2][2::2])."""
+    if input_layer == "linear":
+        return mask
+    if input_layer == "conv2d":
+        return mask[:, :, 2::2][:, :, 2::2]
+    if input_layer == "conv2d6":
+        return mask[:, :, 2::2][:, :, 4::3]
+    if input_layer == "conv2d8":
+        return mask[:, :, 2::2][:, :, 2::2][:, :, 2::2]
+    raise ValueError(input_layer)

@@ -1,0 +1,81 @@
+"""Fused Pallas TPU kernel for log-mel fbank over framed audio.
+
+One VMEM-resident pass per block of frames: window multiply (VPU), real-DFT as
+two matmuls (MXU), power spectrum (VPU), mel filterbank matmul (MXU), and
+``10*log10(max(., amin))`` (VPU) — replacing the host-side torchaudio
+MelSpectrogram of the reference (data/dataloader.py:28-38) with an on-chip
+pipeline that never materializes the complex spectrum in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fbank_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref, out_ref, *, amin):
+    hi = jax.lax.Precision.HIGHEST
+    fw = frames_ref[:] * window_ref[:]  # [Tb, n_fft]
+    re = jnp.dot(fw, cos_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(fw, sin_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    spec = re * re + im * im  # [Tb, n_freq_pad]
+    m = jnp.dot(spec, mel_ref[:], preferred_element_type=jnp.float32, precision=hi)
+    out_ref[:] = 10.0 * jnp.log10(jnp.maximum(m, amin))
+
+
+@functools.partial(jax.jit, static_argnames=("amin",))
+def fbank_frames_pallas(
+    frames: jnp.ndarray,  # [T, n_fft] float32
+    window: np.ndarray,  # [n_fft]
+    cos: np.ndarray,  # [n_fft, n_freqs]
+    sin: np.ndarray,  # [n_fft, n_freqs]
+    mel: np.ndarray,  # [n_freqs, n_mels]
+    amin: float = 1e-10,
+) -> jnp.ndarray:
+    t, n_fft = frames.shape
+    n_freqs, n_mels = mel.shape
+    tile_t = 128
+    t_pad = _round_up(max(t, 8), tile_t)
+    f_pad = _round_up(n_freqs, 128)
+    m_pad = _round_up(n_mels, 128)
+
+    frames_p = jnp.pad(frames.astype(jnp.float32), ((0, t_pad - t), (0, 0)))
+    window_b = jnp.asarray(window, jnp.float32)[None, :]  # [1, n_fft]
+    cos_p = jnp.pad(jnp.asarray(cos, jnp.float32), ((0, 0), (0, f_pad - n_freqs)))
+    sin_p = jnp.pad(jnp.asarray(sin, jnp.float32), ((0, 0), (0, f_pad - n_freqs)))
+    # zero-padded freq rows contribute 0 through the mel matmul; pad mel with a
+    # tiny epsilon column guard not needed since log is taken after matmul.
+    mel_p = jnp.pad(
+        jnp.asarray(mel, jnp.float32), ((0, f_pad - n_freqs), (0, m_pad - n_mels))
+    )
+
+    grid = (t_pad // tile_t,)
+    out = pl.pallas_call(
+        functools.partial(_fbank_kernel, amin=amin),
+        out_shape=jax.ShapeDtypeStruct((t_pad, m_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_t, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_fft), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, m_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_t, m_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * n_fft * f_pad * 2 + 2 * t_pad * f_pad * m_pad,
+            bytes_accessed=4 * (t_pad * n_fft + 2 * n_fft * f_pad + f_pad * m_pad + t_pad * m_pad),
+            transcendentals=t_pad * m_pad,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(frames_p, window_b, cos_p, sin_p, mel_p)
+    return out[:t, :n_mels]
