@@ -3,20 +3,26 @@
 Multi-chip sharding paths are validated on CPU via
 ``xla_force_host_platform_device_count`` (real multi-chip hardware is not
 available in CI); Pallas kernels run in interpreter mode on CPU.
+
+NOTE: this environment preimports jax at interpreter startup (TPU tunnel), so
+env vars alone are too late — `jax.config.update` is required to force the
+platform before any backend initializes.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

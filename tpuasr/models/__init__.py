@@ -1,0 +1,4 @@
+from tpuasr.models.ctc_model import CTCModel
+from tpuasr.models.transducer import Transducer, add_blank
+
+__all__ = ["CTCModel", "Transducer", "add_blank"]

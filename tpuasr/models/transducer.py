@@ -1,0 +1,148 @@
+"""RNN-Transducer model — offline and streaming are one model, two call paths.
+
+Parity contracts:
+- assembly + hybrid loss `tw·rnnt + cw·ctc` — model/component/transducer.py:73-189,
+  model/rnnt_model.py:83-210 (offline), model/online_rnnt_model.py:14-271
+  (online: same model with a causal, chunk-trained encoder);
+- blank-prepended predictor input — model/component/transducer.py:8-19 (add_blank);
+- streaming chunk encode — ConformerEncoder.forward_chunk (fixed-shape caches).
+
+Decoding lives in tpuasr.decode (batched, jit-compiled); evaluation harnesses
+in tpuasr.eval.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpuasr.config import ModelConfig
+from tpuasr.losses import ctc_loss_from_logits, rnnt_loss_from_logits
+from tpuasr.nn.conformer import ConformerEncoder, EncoderStreamState
+from tpuasr.nn.joint import TransducerJoint
+from tpuasr.nn.predictor import RNNPredictor
+from tpuasr.nn.subsampling import subsampled_len
+
+
+def add_blank(texts: jnp.ndarray, blank_id: int) -> jnp.ndarray:
+    """[B, U] -> [B, U+1] with blank prepended (predictor input)."""
+    b = texts.shape[0]
+    blank_col = jnp.full((b, 1), blank_id, texts.dtype)
+    return jnp.concatenate([blank_col, texts], axis=1)
+
+
+class CTCHead(nn.Module):
+    """Linear + dropout CTC head (model/rnnt_model.py:11-80 parity)."""
+
+    vocab_size: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, enc_out, deterministic: bool = True):
+        y = nn.Dropout(self.dropout_rate)(enc_out, deterministic=deterministic)
+        return nn.Dense(self.vocab_size, name="ctc_lo")(y)
+
+
+class Transducer(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = ConformerEncoder(c.encoder, name="encoder")
+        self.predictor = RNNPredictor(c.predictor, c.vocab_size, name="predictor")
+        self.joint = TransducerJoint(c.joint, c.vocab_size, name="joint")
+        if c.ctc_weight > 0:
+            self.ctc = CTCHead(c.vocab_size, c.ctc_dropout_rate, name="ctc")
+
+    # -------------------------------------------------- encoder entry points
+
+    def encode(
+        self,
+        feats: jnp.ndarray,
+        feat_lens: jnp.ndarray,
+        decoding_chunk_size: int = 0,
+        num_decoding_left_chunks: int = -1,
+        chunk_rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        """-> (enc_out [B, T', D], enc_lens [B])."""
+        ys, _ = self.encoder(
+            feats,
+            feat_lens,
+            decoding_chunk_size=decoding_chunk_size,
+            num_decoding_left_chunks=num_decoding_left_chunks,
+            chunk_rng=chunk_rng,
+            deterministic=deterministic,
+        )
+        enc_lens = subsampled_len(self.cfg.encoder.input_layer, feat_lens)
+        return ys, enc_lens
+
+    def encode_chunk(self, xs: jnp.ndarray, state: EncoderStreamState):
+        """One streaming chunk -> ([B, chunk, D], new encoder state)."""
+        return self.encoder.forward_chunk(xs, state)
+
+    def init_encoder_state(self, batch: int, chunk_size: int, num_left_chunks: int):
+        return self.encoder.init_stream_state(batch, chunk_size, num_left_chunks)
+
+    # -------------------------------------------------- predictor / joint
+
+    def predict(self, tokens, state=None, deterministic: bool = True):
+        return self.predictor(tokens, state, deterministic)
+
+    def predict_step(self, tokens, state, padding=None):
+        return self.predictor.forward_step(tokens, state, padding)
+
+    def init_predictor_state(self, batch: int):
+        return self.predictor.init_state(batch)
+
+    def joint_full(self, enc_out, pred_out):
+        return self.joint(enc_out, pred_out)
+
+    def joint_step(self, enc_t, pred_u):
+        return self.joint.step(enc_t, pred_u)
+
+    def ctc_logits(self, enc_out, deterministic: bool = True):
+        return self.ctc(enc_out, deterministic=deterministic)
+
+    # -------------------------------------------------- training forward
+
+    def __call__(
+        self,
+        feats: jnp.ndarray,  # [B, T, F]
+        feat_lens: jnp.ndarray,  # [B]
+        texts: jnp.ndarray,  # [B, U]
+        text_lens: jnp.ndarray,  # [B]
+        chunk_rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> dict:
+        """Hybrid loss forward -> {"loss", "loss_rnnt", "loss_ctc"}.
+
+        loss = transducer_weight * rnnt(mean) + ctc_weight * ctc(sum)/B
+        (model/component/transducer.py:122-128, 161-189 parity).
+        """
+        c = self.cfg
+        enc_out, enc_lens = self.encode(
+            feats, feat_lens, chunk_rng=chunk_rng, deterministic=deterministic
+        )
+
+        ys_in = add_blank(texts, c.blank_id)  # [B, U+1]
+        pred_out = self.predictor(ys_in, deterministic=deterministic)  # [B, U+1, P]
+        logits = self.joint(enc_out, pred_out)  # [B, T', U+1, V]
+
+        loss_rnnt = rnnt_loss_from_logits(
+            logits, texts, enc_lens, text_lens, c.blank_id, "mean"
+        )
+        loss = c.transducer_weight * loss_rnnt
+        out = {"loss_rnnt": loss_rnnt}
+        if c.ctc_weight > 0:
+            ctc_logits = self.ctc(enc_out, deterministic=deterministic)
+            loss_ctc = ctc_loss_from_logits(
+                ctc_logits, enc_lens, texts, text_lens, c.blank_id, "sum_over_batch"
+            )
+            loss = loss + c.ctc_weight * loss_ctc
+            out["loss_ctc"] = loss_ctc
+        out["loss"] = loss
+        return out
