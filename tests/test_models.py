@@ -1,0 +1,148 @@
+"""Model-level tests: encoder/predictor/joint shapes, hybrid loss forward,
+and batched decoders (the example1/example2 fixture role from the reference
+notebooks, SURVEY §4, re-expressed as randomized shape/semantic tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuasr.config import CTCModelConfig, EncoderConfig, ModelConfig, PredictorConfig
+from tpuasr.decode import ctc_greedy_decode, rnnt_greedy_decode
+from tpuasr.decode.ctc_greedy import remove_duplicates_and_blank
+from tpuasr.models import CTCModel, Transducer, add_blank
+
+VOCAB = 20
+BLANK = 5
+
+
+def small_model_cfg(**enc_over):
+    enc = EncoderConfig(
+        output_size=32,
+        attention_heads=2,
+        linear_units=64,
+        num_blocks=2,
+        cnn_module_kernel=7,
+        dropout_rate=0.0,
+        positional_dropout_rate=0.0,
+        **enc_over,
+    )
+    return ModelConfig(
+        vocab_size=VOCAB,
+        blank_id=BLANK,
+        encoder=enc,
+        predictor=PredictorConfig(embed_size=16, hidden_size=16, output_size=32),
+    )
+
+
+@pytest.fixture(scope="module")
+def transducer():
+    cfg = small_model_cfg()
+    model = Transducer(cfg)
+    feats = np.zeros((2, 67, 80), np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), feats, np.array([67, 50], np.int32),
+        np.zeros((2, 5), np.int32), np.array([5, 3], np.int32),
+    )
+    return model, params, cfg
+
+
+def test_transducer_forward_losses(transducer, rng):
+    model, params, cfg = transducer
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    texts = rng.integers(6, VOCAB, size=(2, 5)).astype(np.int32)
+    text_lens = np.array([5, 3], np.int32)
+    out = model.apply(params, feats, feat_lens, texts, text_lens)
+    assert set(out) == {"loss", "loss_rnnt", "loss_ctc"}
+    loss = float(out["loss"])
+    assert np.isfinite(loss) and loss > 0
+    np.testing.assert_allclose(
+        loss,
+        0.7 * float(out["loss_rnnt"]) + 0.3 * float(out["loss_ctc"]),
+        rtol=1e-6,
+    )
+
+
+def test_transducer_grads_finite(transducer, rng):
+    model, params, cfg = transducer
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    texts = rng.integers(6, VOCAB, size=(2, 5)).astype(np.int32)
+    text_lens = np.array([5, 3], np.int32)
+
+    def loss_fn(p):
+        return model.apply(p, feats, feat_lens, texts, text_lens)["loss"]
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    assert any(np.any(np.asarray(x) != 0) for x in leaves)
+
+
+def test_encoder_lens(transducer, rng):
+    model, params, _ = transducer
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    enc, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+    assert enc.shape == (2, (67 - 1) // 2 // 2 - 0, 32) or enc.shape[1] >= enc_lens.max()
+    assert list(np.asarray(enc_lens)) == [((67 - 1) // 2 - 1) // 2, ((50 - 1) // 2 - 1) // 2]
+
+
+def test_add_blank():
+    t = np.array([[7, 8], [9, 0]], np.int32)
+    out = np.asarray(add_blank(jnp.asarray(t), BLANK))
+    assert out.tolist() == [[BLANK, 7, 8], [BLANK, 9, 0]]
+
+
+def test_ctc_greedy_decode_collapse():
+    # build log_probs forcing sequence [1, 1, blk, 2, 2, blk, 1]
+    path = [1, 1, BLANK, 2, 2, BLANK, 1]
+    lp = np.full((1, len(path), VOCAB), -10.0, np.float32)
+    for t, p in enumerate(path):
+        lp[0, t, p] = 0.0
+    toks, lens = ctc_greedy_decode(jnp.asarray(lp), np.array([7], np.int32), BLANK)
+    assert int(lens[0]) == 3
+    assert list(np.asarray(toks[0, :3])) == [1, 2, 1]
+    assert remove_duplicates_and_blank(path, BLANK) == [1, 2, 1]
+
+
+def test_ctc_greedy_decode_respects_lens():
+    path = [1, BLANK, 2, 3]
+    lp = np.full((1, 4, VOCAB), -10.0, np.float32)
+    for t, p in enumerate(path):
+        lp[0, t, p] = 0.0
+    toks, lens = ctc_greedy_decode(jnp.asarray(lp), np.array([3], np.int32), BLANK)
+    assert int(lens[0]) == 2
+    assert list(np.asarray(toks[0, :2])) == [1, 2]
+
+
+def test_rnnt_greedy_decode_runs(transducer, rng):
+    model, params, cfg = transducer
+    enc = rng.standard_normal((2, 9, 32)).astype(np.float32)
+    enc_lens = np.array([9, 5], np.int32)
+    toks, lens = rnnt_greedy_decode(model, params, jnp.asarray(enc), enc_lens, BLANK,
+                                    n_steps=4, max_tokens=30)
+    assert toks.shape == (2, 30)
+    assert 0 <= int(lens[0]) <= 30 and 0 <= int(lens[1]) <= 30
+    # tokens beyond length are pad (0)
+    for b in range(2):
+        assert np.all(np.asarray(toks[b, int(lens[b]):]) == 0)
+    # no blanks ever emitted
+    for b in range(2):
+        assert BLANK not in np.asarray(toks[b, : int(lens[b])])
+
+
+def test_ctc_model_forward(rng):
+    cfg = CTCModelConfig(hidden_dim=32, attention_heads=2, num_blocks=2, kernel_size=7)
+    model = CTCModel(cfg, VOCAB, BLANK)
+    feats = rng.standard_normal((2, 130, 80)).astype(np.float32)
+    feat_lens = np.array([130, 100], np.int32)
+    texts = rng.integers(6, VOCAB, size=(2, 4)).astype(np.int32)
+    text_lens = np.array([4, 2], np.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens, texts, text_lens)
+    lp, out_lens, loss = model.apply(params, feats, feat_lens, texts, text_lens)
+    assert lp.shape[0] == 2 and lp.shape[2] == VOCAB
+    assert np.isfinite(float(loss))
+    # conv2d8: ((T-1)//2 -1)//2 -1)//2
+    assert int(out_lens[0]) == ((((130 - 1) // 2) - 1) // 2 - 1) // 2

@@ -58,6 +58,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
         init = nn.initializers.xavier_uniform()
         self.pos_bias_u = self.param("pos_bias_u", init, (self.n_head, self.d_k))
         self.pos_bias_v = self.param("pos_bias_v", init, (self.n_head, self.d_k))
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(
         self,
@@ -90,7 +91,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         attn = masked_softmax(scores, None if mask is None else mask[:, None])
         if self.dropout_rate > 0:
-            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+            attn = self.attn_dropout(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t1, h * dk)
         return self.linear_out(out), new_cache
 

@@ -89,6 +89,7 @@ class ConformerBlock(nn.Module):
             )
             self.norm_conv = nn.LayerNorm(dtype=self.dtype, name="norm_conv")
             self.norm_final = nn.LayerNorm(dtype=self.dtype, name="norm_final")
+        self.dropout = nn.Dropout(c.dropout_rate)
 
     def __call__(
         self,
@@ -102,7 +103,7 @@ class ConformerBlock(nn.Module):
     ):
         c = self.cfg
         ff_scale = 0.5 if c.macaron_style else 1.0
-        drop = lambda y: nn.Dropout(c.dropout_rate)(y, deterministic=deterministic)
+        drop = lambda y: self.dropout(y, deterministic=deterministic)
 
         if c.macaron_style:
             x = x + ff_scale * drop(
@@ -165,6 +166,7 @@ class ConformerEncoder(nn.Module):
             ConformerBlock(c, self.dtype, name=f"block{i}") for i in range(c.num_blocks)
         ]
         self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
+        self.pos_dropout = nn.Dropout(c.positional_dropout_rate)
 
     @property
     def subsampling_rate(self) -> int:
@@ -190,12 +192,15 @@ class ConformerEncoder(nn.Module):
         ys = self.embed(xs)
         masks = subsampled_mask(masks, c.input_layer)
         ys, pos_emb = self.pe.rel(ys, 0) if c.pos_enc_layer_type == "rel_pos" else self.pe.add_abs(ys, 0)
-        ys = nn.Dropout(c.positional_dropout_rate)(ys, deterministic=deterministic)
+        ys = self.pos_dropout(ys, deterministic=deterministic)
 
+        # dynamic-chunk sampling needs an rng; without one (init / eval callers
+        # that did not specify a chunk policy) fall back to full context.
+        if c.use_dynamic_chunk and decoding_chunk_size == 0 and chunk_rng is None:
+            decoding_chunk_size = -1
         chunk_masks = add_optional_chunk_mask(
             masks,
-            use_dynamic_chunk=c.use_dynamic_chunk and not deterministic or
-            (c.use_dynamic_chunk and decoding_chunk_size != 0),
+            use_dynamic_chunk=c.use_dynamic_chunk,
             use_dynamic_left_chunk=c.use_dynamic_left_chunk,
             decoding_chunk_size=decoding_chunk_size,
             static_chunk_size=c.static_chunk_size,
@@ -204,14 +209,10 @@ class ConformerEncoder(nn.Module):
             max_chunk_size=c.max_chunk_size,
         )
         for blk in self.blocks:
-            apply = blk
-            if c.gradient_checkpointing and not deterministic:
-                apply = nn.remat(type(blk), static_argnums=(6,))(
-                    self.cfg, self.dtype, name=None
-                ) if False else blk  # remat handled at train-step level instead
-            ys, _, _ = apply(
-                ys, chunk_masks, pos_emb, masks, deterministic=deterministic
-            )
+            # rematerialization (the reference's gradient_checkpointing,
+            # encoder.py:181-201) is applied at the train-step level via
+            # jax.checkpoint over the whole loss fn when configured.
+            ys, _, _ = blk(ys, chunk_masks, pos_emb, masks, deterministic=deterministic)
         return self.after_norm(ys), masks
 
     # ------------------------------------------------------------------

@@ -55,6 +55,8 @@ class RNNPredictor(nn.Module):
             for l in range(c.num_layers)
         ]
         self.projection = nn.Dense(c.output_size, dtype=self.dtype, name="projection")
+        self.embed_dropout = nn.Dropout(c.embed_dropout)
+        self.layer_dropout = nn.Dropout(c.dropout)
 
     def init_state(self, batch: int) -> tuple[jnp.ndarray, jnp.ndarray]:
         c = self.cfg
@@ -71,7 +73,7 @@ class RNNPredictor(nn.Module):
         c = self.cfg
         b, u = tokens.shape
         x = self.embed(tokens)
-        x = nn.Dropout(c.embed_dropout)(x, deterministic=deterministic)
+        x = self.embed_dropout(x, deterministic=deterministic)
         if state is None:
             state = self.init_state(b)
         hs, cs = state
@@ -89,7 +91,7 @@ class RNNPredictor(nn.Module):
             )
             x = jnp.swapaxes(out, 0, 1)  # [B, U, H]
             if l < c.num_layers - 1 and c.dropout > 0:
-                x = nn.Dropout(c.dropout)(x, deterministic=deterministic)
+                x = self.layer_dropout(x, deterministic=deterministic)
         return self.projection(x)
 
     def forward_step(
