@@ -1,0 +1,112 @@
+"""Train-step tests: loss decreases, NaN guard skips, data-parallel sharding
+on the virtual 8-device CPU mesh matches single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuasr.config import Config, EncoderConfig, FeatureConfig, ModelConfig, PredictorConfig
+from tpuasr.data.pipeline import BatchSpec, device_view, make_batch
+from tpuasr.data.synthetic import synth_corpus
+from tpuasr.models import Transducer
+from tpuasr.parallel import make_mesh, shard_batch
+from tpuasr.train import TrainState, make_optimizer, make_train_step
+from tpuasr.train.optim import PlateauTracker
+
+VOCAB = 30
+BLANK = 5
+
+
+def tiny_config():
+    cfg = Config()
+    cfg.feature = FeatureConfig(sample_rate=16000, use_pallas=False)
+    cfg.model = ModelConfig(
+        vocab_size=VOCAB,
+        blank_id=BLANK,
+        encoder=EncoderConfig(
+            output_size=32, attention_heads=2, linear_units=64, num_blocks=2,
+            cnn_module_kernel=7, dropout_rate=0.0, positional_dropout_rate=0.0,
+            causal=True, use_dynamic_chunk=True, static_chunk_size=4,
+        ),
+        predictor=PredictorConfig(embed_size=16, hidden_size=16, output_size=32),
+    )
+    cfg.optim.warmup_steps = 10
+    return cfg
+
+
+def make_synth_batch(n=8, spec=None):
+    utts = synth_corpus(n, VOCAB, seed=1, min_tokens=2, max_tokens=4,
+                        samples_per_token=1600)
+    spec = spec or BatchSpec(n, 16 * 512, 8)
+    return device_view(make_batch(utts, spec))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = Transducer(cfg.model)
+    batch = make_synth_batch()
+    feats_shape = (8, 1 + batch["waves"].shape[1] // 512, 80)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros(feats_shape, np.float32),
+        np.full((8,), feats_shape[1], np.int32),
+        batch["texts"], batch["text_lens"],
+    )
+    tx = make_optimizer(cfg.optim)
+    state = TrainState.create(params, tx)
+    return cfg, model, tx, state, batch
+
+
+def test_train_step_decreases_loss(setup):
+    cfg, model, tx, state, batch = setup
+    step = make_train_step(model, tx, cfg, donate=False)
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch, rng)
+        assert bool(metrics["finite"])
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert int(state.skipped) == 0
+
+
+def test_nan_guard_skips_update(setup):
+    cfg, model, tx, state, batch = setup
+    step = make_train_step(model, tx, cfg, donate=False)
+    bad = dict(batch)
+    bad["waves"] = batch["waves"].copy()
+    bad["waves"][0, 0] = np.nan
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state2, metrics = step(state, bad, jax.random.PRNGKey(0))
+    assert not bool(metrics["finite"])
+    assert int(state2.skipped) == 1
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state2.params)[0]), np.asarray(p0))
+
+
+def test_data_parallel_matches_single_device(setup):
+    cfg, model, tx, state, batch = setup
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    step = make_train_step(model, tx, cfg, donate=False)
+    rng = jax.random.PRNGKey(7)
+
+    _, m_single = step(state, batch, rng)
+    sharded = shard_batch(batch, mesh)
+    with jax.set_mesh(mesh):
+        _, m_dp = step(state, sharded, rng)
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_plateau_tracker():
+    p = PlateauTracker(factor=0.5, patience=2)
+    assert p.update(10.0) == 1.0
+    assert p.update(9.0) == 1.0
+    assert p.update(9.5) == 1.0  # bad 1
+    assert p.update(9.4) == 1.0  # bad 2
+    assert p.update(9.3) == 0.5  # bad 3 > patience -> decay
+    assert p.update(1.0) == 0.5  # improvement resets counter, scale persists

@@ -70,6 +70,14 @@ def make_batch(utts: list[Utterance], spec: BatchSpec, pad_id: int = 0) -> dict:
     }
 
 
+DEVICE_KEYS = ("waves", "wave_lens", "texts", "text_lens")
+
+
+def device_view(batch: dict) -> dict:
+    """Array-only view of a batch (jit-safe: drops utt_ids and host metadata)."""
+    return {k: batch[k] for k in DEVICE_KEYS if k in batch}
+
+
 class LengthBucketPipeline:
     """Buckets utterances by (wave length, token count) and yields static-shape
     batches in shuffled order."""

@@ -1,0 +1,135 @@
+"""Epoch training loop.
+
+The reusable driver behind the reference's three train scripts (run.py:72-181,
+rnnt_train.py:89-221, online_rnnt_train.py — same skeleton): epoch loop with
+per-step metrics, per-epoch dev-loss pass, ReduceLROnPlateau, periodic +
+latest checkpointing, and NaN-skip accounting (the guard itself runs inside
+the jitted step).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from tpuasr.config import Config
+from tpuasr.data.pipeline import device_view
+from tpuasr.train.checkpoint import epoch_path, latest_path, save_checkpoint
+from tpuasr.train.metrics import MetricsWriter, StepTimer
+from tpuasr.train.optim import PlateauTracker
+
+
+@dataclass
+class LoopResult:
+    state: object
+    train_losses: list
+    dev_losses: list
+
+
+def run_epoch(step_fn, state, batches: Iterable[dict], rng, writer: MetricsWriter,
+              cfg: Config, timer: StepTimer, epoch: int, mesh=None):
+    losses = []
+    for batch in batches:
+        db = device_view(batch)
+        if mesh is not None:
+            from tpuasr.parallel import shard_batch
+
+            db = shard_batch(db, mesh)
+        state, metrics = step_fn(state, db, rng)
+        loss = float(metrics["loss"])
+        losses.append(loss)
+        timer.tick(float(metrics["audio_seconds"]))
+        step = int(state.step)
+        if step % cfg.train.log_every == 0:
+            writer.scalars(
+                {k: v for k, v in metrics.items() if k.startswith("loss") or k == "grad_norm"},
+                step, prefix="train/",
+            )
+            writer.scalar("train/steps_per_second", timer.steps_per_second, step)
+            writer.scalar("train/audio_seconds_per_second", timer.audio_seconds_per_second, step)
+            writer.log(
+                f"epoch {epoch} step {step} loss {loss:.4f} "
+                f"({timer.audio_seconds_per_second:.1f} audio-s/s)"
+            )
+    return state, float(np.mean(losses)) if losses else float("nan")
+
+
+def run_eval(eval_fn, state, batches: Iterable[dict], rng, mesh=None) -> float:
+    losses, weights = [], []
+    for batch in batches:
+        db = device_view(batch)
+        if mesh is not None:
+            from tpuasr.parallel import shard_batch
+
+            db = shard_batch(db, mesh)
+        out = eval_fn(state.params, db, rng)
+        losses.append(float(out["loss"]))
+        weights.append(db["waves"].shape[0])
+    if not losses:
+        return float("nan")
+    return float(np.average(losses, weights=weights))
+
+
+def train_loop(
+    cfg: Config,
+    model,
+    state,
+    train_pipeline,
+    dev_pipeline=None,
+    step_fn: Optional[Callable] = None,
+    eval_fn: Optional[Callable] = None,
+    mesh=None,
+    epochs: Optional[int] = None,
+) -> LoopResult:
+    from tpuasr.train.optim import make_optimizer
+    from tpuasr.train.step import make_eval_step, make_train_step
+
+    if step_fn is None:
+        tx = make_optimizer(cfg.optim)
+        step_fn = make_train_step(model, tx, cfg, donate=cfg.train.donate)
+    if eval_fn is None:
+        eval_fn = make_eval_step(model, cfg)
+
+    writer = MetricsWriter(cfg.train.log_dir, os.path.join(cfg.train.save_dir, "log.txt"))
+    plateau = PlateauTracker(cfg.optim.plateau_factor, cfg.optim.plateau_patience)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    timer = StepTimer()
+    train_losses, dev_losses = [], []
+
+    n_epochs = epochs if epochs is not None else cfg.train.epochs
+    for epoch in range(n_epochs):
+        state, train_loss = run_epoch(
+            step_fn, state, train_pipeline.batches(epoch), rng, writer, cfg, timer,
+            epoch, mesh,
+        )
+        train_losses.append(train_loss)
+        msg = f"epoch {epoch} train_loss {train_loss:.4f}"
+        if dev_pipeline is not None:
+            dev_loss = run_eval(eval_fn, state, dev_pipeline.batches(epoch), rng, mesh)
+            dev_losses.append(dev_loss)
+            scale = plateau.update(dev_loss)
+            state = state.replace(lr_scale=state.lr_scale * 0 + scale)
+            writer.scalar("dev/loss", dev_loss, int(state.step))
+            writer.scalar("train/learning_rate_scale", scale, int(state.step))
+            msg += f" dev_loss {dev_loss:.4f} lr_scale {scale:.4f}"
+        writer.log(msg)
+
+        if jax.process_index() == 0 and cfg.train.save_dir:
+            os.makedirs(cfg.train.save_dir, exist_ok=True)
+            info = {
+                "epoch": epoch,
+                "step": int(state.step),
+                "train_loss": train_loss,
+                "dev_loss": dev_losses[-1] if dev_losses else None,
+                "skipped": int(state.skipped),
+            }
+            save_checkpoint(latest_path(cfg.train.save_dir), state, info)
+            if (epoch + 1) % cfg.train.save_every_epochs == 0:
+                save_checkpoint(epoch_path(cfg.train.save_dir, epoch), state, info)
+
+    writer.close()
+    return LoopResult(state, train_losses, dev_losses)

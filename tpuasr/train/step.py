@@ -1,0 +1,133 @@
+"""jit/pjit train and eval steps.
+
+One compiled function per batch bucket covers the whole per-step pipeline:
+device-side fbank → model forward → lattice losses → grads → NaN-guarded
+optimizer update. The reference splits this across host-side torchaudio
+features, the model, native losses, and a python loop with NaN checks
+(run.py:79-120); here the NaN skip-batch guard is a branch-free masked update
+(non-finite grads leave params and optimizer state untouched and are counted).
+
+Sharding: `shardings` (from tpuasr.parallel.mesh) places the batch on the
+`data` mesh axis and replicates params; XLA inserts the gradient psum over
+ICI/DCN — the TPU-native replacement of DDP allreduce (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpuasr.audio import fbank_batch
+from tpuasr.config import Config
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+    lr_scale: jnp.ndarray  # f32 scalar (plateau multiplier)
+    skipped: jnp.ndarray  # int32 scalar: NaN-skipped batches
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(
+            params=params,
+            opt_state=tx.init(params["params"]),
+            step=jnp.zeros((), jnp.int32),
+            lr_scale=jnp.ones((), jnp.float32),
+            skipped=jnp.zeros((), jnp.int32),
+        )
+
+
+def _batch_forward(model, cfg: Config, variables, batch, rng, deterministic):
+    """waves -> features -> model loss dict."""
+    feats, feat_lens = fbank_batch(batch["waves"], batch["wave_lens"], cfg.feature)
+    dropout_rng, chunk_rng = jax.random.split(rng)
+    kwargs = dict(
+        chunk_rng=chunk_rng,
+        deterministic=deterministic,
+    )
+    if not deterministic:
+        out = model.apply(
+            variables, feats, feat_lens, batch["texts"], batch["text_lens"],
+            rngs={"dropout": dropout_rng}, **kwargs,
+        )
+    else:
+        out = model.apply(
+            variables, feats, feat_lens, batch["texts"], batch["text_lens"], **kwargs
+        )
+    return out
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    donate: bool = True,
+    remat: bool = False,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, variables_rest, batch, rng):
+        variables = {"params": params, **variables_rest}
+        fwd = _batch_forward
+        if remat:
+            fwd = jax.checkpoint(_batch_forward, static_argnums=(0, 5))
+        out = fwd(model, cfg, variables, batch, rng, False)
+        return out["loss"], out
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        params = state.params["params"]
+        rest = {k: v for k, v in state.params.items() if k != "params"}
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, rest, batch, rng
+        )
+
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, params)
+        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
+        new_params = optax.apply_updates(params, updates)
+
+        # NaN guard: skip the whole update if anything is non-finite
+        sel = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.where(finite, x, y), a, b
+        )
+        new_params = sel(new_params, params)
+        new_opt_state = sel(new_opt_state, state.opt_state)
+
+        new_state = state.replace(
+            params={"params": new_params, **rest},
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            skipped=state.skipped + (1 - finite.astype(jnp.int32)),
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "finite": finite,
+            "audio_seconds": jnp.sum(batch["wave_lens"]) / cfg.feature.sample_rate,
+        }
+        for k in ("loss_rnnt", "loss_ctc"):
+            if k in out:
+                metrics[k] = out[k]
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: Config) -> Callable:
+    """Returns eval_step(params, batch, rng) -> loss dict (no update)."""
+
+    def eval_step(variables, batch, rng):
+        out = _batch_forward(model, cfg, variables, batch, rng, True)
+        return {k: v for k, v in out.items()}
+
+    return jax.jit(eval_step)
