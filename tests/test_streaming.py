@@ -128,3 +128,33 @@ def test_incremental_chunks_match_batch_scan(causal_model, rng):
         outs.append(np.asarray(y))
     ys_inc = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(ys_inc, np.asarray(ys_scan), rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_greedy_equals_offline_greedy_on_chunked_encoder(causal_model, rng):
+    """Streaming decode (chunked encoder + carried decoder state) must equal
+    offline greedy run over the chunk-masked full-context encoder output."""
+    from tpuasr.decode.rnnt_greedy import rnnt_greedy_decode
+    from tpuasr.decode.rnnt_streaming import streaming_greedy_decode
+
+    model, params = causal_model
+    b, t = 2, 131
+    feats = rng.standard_normal((b, t, 80)).astype(np.float32) * 0.5
+    feat_lens = np.array([131, 99], np.int32)
+
+    full, full_lens = model.apply(
+        params, feats, feat_lens,
+        decoding_chunk_size=CHUNK, num_decoding_left_chunks=LEFT,
+        method="encode",
+    )
+    n = num_chunks(t, CHUNK, 4, 6)
+    # streaming only sees complete chunks; cap offline lens the same way
+    capped = np.minimum(np.asarray(full_lens), n * CHUNK).astype(np.int32)
+    toks_off, lens_off = rnnt_greedy_decode(
+        model, params, full, capped, BLANK, n_steps=4, max_tokens=50
+    )
+    toks_str, lens_str, _ = streaming_greedy_decode(
+        model, params, jnp.asarray(feats), jnp.asarray(capped * 4 + 3), CHUNK, LEFT,
+        BLANK, n_steps=4, max_tokens=50,
+    )
+    assert list(np.asarray(lens_off)) == list(np.asarray(lens_str))
+    np.testing.assert_array_equal(np.asarray(toks_off), np.asarray(toks_str))

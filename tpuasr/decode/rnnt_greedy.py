@@ -8,37 +8,70 @@ TPU design: the reference runs a Python loop of tiny device launches per
 (batch-element, frame, step) — the decode hot loop flagged in SURVEY §3.3.
 Here the whole batch advances in one `lax.scan` over frames with an inner
 `lax.while_loop` over emissions (runs while *any* stream wants to emit —
-average ~1 iteration/frame); predictor/joint steps are batched matmuls.
-The encoder-side joint projection is precomputed once for all frames.
+average ~1 iteration/frame); predictor/joint steps are batched matmuls; the
+encoder half of the joint projection is precomputed for all frames at once.
+
+The decode state (`GreedyCarry`) is an explicit pytree so the same core
+drives offline decode (scan over a full utterance) and chunk streaming
+(carry across `process_chunk` calls — model/online_rnnt_model.py:346-387
+parity, but batched and jitted).
 """
 
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 
-def rnnt_greedy_decode(
-    model,  # Transducer module (unbound)
-    params: Any,  # {"params": ...}
-    enc_out: jnp.ndarray,  # [B, T, D]
-    enc_lens: jnp.ndarray,  # [B]
+@dataclass
+class GreedyCarry:
+    """Streaming greedy-decoder state for B parallel streams."""
+
+    pred_state: Any  # ([L, B, H], [L, B, H])
+    last_token: jnp.ndarray  # [B] int32
+    hyp: jnp.ndarray  # [B, max_tokens + 1] int32 (slot max_tokens = trash)
+    hyp_len: jnp.ndarray  # [B] int32
+
+
+jax.tree_util.register_dataclass(
+    GreedyCarry,
+    data_fields=["pred_state", "last_token", "hyp", "hyp_len"],
+    meta_fields=[],
+)
+
+
+def init_greedy_carry(model, params, batch: int, blank_id: int, max_tokens: int) -> GreedyCarry:
+    pred_state = model.apply(params, batch, method="init_predictor_state")
+    return GreedyCarry(
+        pred_state=pred_state,
+        last_token=jnp.full((batch,), blank_id, jnp.int32),
+        hyp=jnp.zeros((batch, max_tokens + 1), jnp.int32),
+        hyp_len=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def greedy_frames(
+    model,
+    params,
+    enc_frames: jnp.ndarray,  # [B, F, D] raw encoder output frames
+    frame_valid: jnp.ndarray,  # [B, F] bool — per-stream frame validity
+    carry: GreedyCarry,
     blank_id: int,
-    n_steps: int = 10,
-    max_tokens: int = 200,
+    n_steps: int,
     pad_id: int = 0,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (tokens [B, max_tokens], token_lens [B])."""
-    b, t, _ = enc_out.shape
+) -> GreedyCarry:
+    """Advance B streams over F encoder frames (the reusable decode core)."""
+    b = enc_frames.shape[0]
+    max_tokens = carry.hyp.shape[1] - 1
 
-    # precompute encoder half of the joint for every frame: [B, T, Dj]
-    enc_proj = model.apply(params, enc_out, method=lambda m, e: m.joint.project_enc(e))
+    enc_proj = model.apply(params, enc_frames, method=lambda m, e: m.joint.project_enc(e))
 
-    def pred_step(tokens, state, padding):
-        return model.apply(params, tokens, state, padding, method="predict_step")
+    def pred_step(tokens, state):
+        return model.apply(params, tokens, state, None, method="predict_step")
 
     def joint_from_proj(enc_p_t, pred_out):
         def run(m, e, p):
@@ -46,57 +79,58 @@ def rnnt_greedy_decode(
 
         return model.apply(params, enc_p_t, pred_out, method=run)
 
-    pred_state0 = model.apply(params, b, method="init_predictor_state")
-
-    def frame_step(carry, inputs):
-        pred_state, last_tok, hyp, hyp_len = carry
-        enc_p_t, t_idx = inputs  # [B, Dj], scalar
-        frame_active = t_idx < enc_lens  # [B]
+    def frame_step(carry: GreedyCarry, inputs):
+        enc_p_t, active = inputs  # [B, Dj], [B]
 
         def cond(s):
-            _, _, _, _, emitting, n_emit = s
+            carry, emitting, n_emit = s
             return jnp.any(emitting) & (n_emit < n_steps)
 
         def body(s):
-            pred_state, last_tok, hyp, hyp_len, emitting, n_emit = s
-            pred_out, new_state = pred_step(last_tok, pred_state, None)
-            logits = joint_from_proj(enc_p_t, pred_out)  # [B, V]
+            carry, emitting, n_emit = s
+            pred_out, new_state = pred_step(carry.last_token, carry.pred_state)
+            logits = joint_from_proj(enc_p_t, pred_out)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            emit = (
-                emitting
-                & (tok != blank_id)
-                & frame_active
-                & (hyp_len < max_tokens)
-            )
-            hyp = hyp.at[jnp.arange(b), jnp.where(emit, hyp_len, max_tokens)].set(
-                jnp.where(emit, tok, pad_id)
-            )
-            hyp_len = hyp_len + emit.astype(jnp.int32)
-            last_tok = jnp.where(emit, tok, last_tok)
-            keep = ~emit  # freeze predictor state where no emission
+            emit = emitting & (tok != blank_id) & active & (carry.hyp_len < max_tokens)
+            hyp = carry.hyp.at[
+                jnp.arange(b), jnp.where(emit, carry.hyp_len, max_tokens)
+            ].set(jnp.where(emit, tok, pad_id))
             pred_state = jax.tree.map(
                 lambda new, old: jnp.where(
-                    keep.reshape((1, b) + (1,) * (new.ndim - 2)), old, new
+                    emit.reshape((1, b) + (1,) * (new.ndim - 2)), new, old
                 ),
                 new_state,
-                pred_state,
+                carry.pred_state,
             )
-            return (pred_state, last_tok, hyp, hyp_len, emit, n_emit + 1)
+            carry = GreedyCarry(
+                pred_state=pred_state,
+                last_token=jnp.where(emit, tok, carry.last_token),
+                hyp=hyp,
+                hyp_len=carry.hyp_len + emit.astype(jnp.int32),
+            )
+            return (carry, emit, n_emit + 1)
 
-        state = (pred_state, last_tok, hyp, hyp_len, frame_active, jnp.int32(0))
-        pred_state, last_tok, hyp, hyp_len, _, _ = jax.lax.while_loop(cond, body, state)
-        return (pred_state, last_tok, hyp, hyp_len), None
+        carry, _, _ = jax.lax.while_loop(cond, body, (carry, active, jnp.int32(0)))
+        return carry, None
 
-    hyp0 = jnp.full((b, max_tokens + 1), pad_id, jnp.int32)
-    carry0 = (
-        pred_state0,
-        jnp.full((b,), blank_id, jnp.int32),
-        hyp0,
-        jnp.zeros((b,), jnp.int32),
-    )
-    xs = (jnp.swapaxes(enc_proj, 0, 1), jnp.arange(t))
-    (_, _, hyp, hyp_len), _ = jax.lax.scan(frame_step, carry0, xs)
-    return hyp[:, :max_tokens], hyp_len
+    xs = (jnp.swapaxes(enc_proj, 0, 1), jnp.swapaxes(frame_valid, 0, 1))
+    carry, _ = jax.lax.scan(frame_step, carry, xs)
+    return carry
 
 
-rnnt_greedy_decode_jit = functools.partial(jax.jit, static_argnames=("model", "blank_id", "n_steps", "max_tokens", "pad_id"))(rnnt_greedy_decode)
+def rnnt_greedy_decode(
+    model,
+    params,
+    enc_out: jnp.ndarray,  # [B, T, D]
+    enc_lens: jnp.ndarray,  # [B]
+    blank_id: int,
+    n_steps: int = 10,
+    max_tokens: int = 200,
+    pad_id: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Offline greedy -> (tokens [B, max_tokens], token_lens [B])."""
+    b, t, _ = enc_out.shape
+    carry = init_greedy_carry(model, params, b, blank_id, max_tokens)
+    valid = jnp.arange(t)[None, :] < enc_lens[:, None]
+    carry = greedy_frames(model, params, enc_out, valid, carry, blank_id, n_steps, pad_id)
+    return carry.hyp[:, :max_tokens], carry.hyp_len

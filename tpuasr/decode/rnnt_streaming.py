@@ -1,0 +1,104 @@
+"""Streaming RNN-T greedy decode: chunked encoder + carried decoder state.
+
+Parity: model/online_rnnt_model.py:274-387 (`streaming_inference` /
+`process_single_chunk` — streaming state = encoder att/cnn caches + predictor
+LSTM state + last emitted token), re-designed as one pytree
+(`StreamingState`) threaded through a pure, batched, jit-compiled
+`process_chunk`, so B streams decode concurrently and a whole utterance runs
+as a single `lax.scan` over chunk windows. The reference is Python
+launch-overhead-bound here (SURVEY §3.4) — this is the path RTF is measured
+on (tpuasr.eval.rtf).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tpuasr.decode.rnnt_greedy import GreedyCarry, greedy_frames, init_greedy_carry
+from tpuasr.nn.conformer import EncoderStreamState
+from tpuasr.streaming.chunkwise import chunk_windows, num_chunks
+
+
+@dataclass
+class StreamingState:
+    enc: EncoderStreamState
+    dec: GreedyCarry
+    enc_lens: jnp.ndarray  # [B] total valid encoder frames per stream (decode gate)
+
+
+jax.tree_util.register_dataclass(
+    StreamingState, data_fields=["enc", "dec", "enc_lens"], meta_fields=[]
+)
+
+
+def init_streaming_state(
+    model,
+    params,
+    batch: int,
+    chunk_size: int,
+    num_left_chunks: int,
+    blank_id: int,
+    max_tokens: int = 200,
+    enc_lens=None,
+) -> StreamingState:
+    """Fresh streaming state (reset_streaming_cache parity,
+    model/online_rnnt_model.py:145-164)."""
+    enc = model.apply(params, batch, chunk_size, num_left_chunks,
+                      method="init_encoder_state")
+    dec = init_greedy_carry(model, params, batch, blank_id, max_tokens)
+    if enc_lens is None:
+        enc_lens = jnp.full((batch,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    return StreamingState(enc=enc, dec=dec, enc_lens=jnp.asarray(enc_lens, jnp.int32))
+
+
+def process_chunk(
+    model,
+    params,
+    chunk_feats: jnp.ndarray,  # [B, window, F] raw features for this chunk
+    state: StreamingState,
+    blank_id: int,
+    n_steps: int = 10,
+) -> StreamingState:
+    """Encode one chunk and greedily decode its frames (incremental API)."""
+    ys, enc_state = model.apply(params, chunk_feats, state.enc, method="encode_chunk")
+    chunk = ys.shape[1]
+    frame_idx = state.enc.offset + jnp.arange(chunk)[None, :]
+    valid = frame_idx < state.enc_lens[:, None]
+    dec = greedy_frames(model, params, ys, valid, state.dec, blank_id, n_steps)
+    return StreamingState(enc=enc_state, dec=dec, enc_lens=state.enc_lens)
+
+
+def streaming_greedy_decode(
+    model,
+    params,
+    feats: jnp.ndarray,  # [B, T, F]
+    feat_lens: jnp.ndarray,  # [B]
+    chunk_size: int,
+    num_left_chunks: int,
+    blank_id: int,
+    n_steps: int = 10,
+    max_tokens: int = 200,
+):
+    """Whole-utterance simulated streaming -> (tokens, token_lens, state)."""
+    from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES, subsampled_len
+
+    cfg = model.cfg.encoder
+    sub = SUBSAMPLE_CLASSES[cfg.input_layer]
+    b, t, _ = feats.shape
+    n = num_chunks(t, chunk_size, sub.subsampling_rate, sub.right_context)
+    enc_lens = subsampled_len(cfg.input_layer, feat_lens)
+
+    windows = chunk_windows(feats, chunk_size, sub.subsampling_rate, sub.right_context, n)
+    state = init_streaming_state(
+        model, params, b, chunk_size, num_left_chunks, blank_id, max_tokens, enc_lens
+    )
+
+    def step(state, xs):
+        return process_chunk(model, params, xs, state, blank_id, n_steps), None
+
+    state, _ = jax.lax.scan(step, state, windows)
+    return state.dec.hyp[:, :max_tokens], state.dec.hyp_len, state

@@ -175,7 +175,12 @@ def rnnt_loss(
     label_valid = (u_idx < u_lens[:, None, None]) & ~pad_t
     label_lp = jnp.where(label_valid, label_lp, _NEG)
 
-    return -_rnnt_lattice(blank_lp, label_lp, u_lens)
+    ll = _rnnt_lattice(blank_lp, label_lp, u_lens)
+    # zero-infinity guard (CTC parity): infeasible rows (e.g. t_len == 0 after
+    # aggressive subsampling of a very short utterance) give loss 0, grad 0.
+    feasible = ll > _NEG / 2
+    nll = -ll
+    return jnp.where(feasible, nll, jax.lax.stop_gradient(nll) * 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("blank", "reduction"))
