@@ -1,0 +1,157 @@
+"""Batched, jit-compiled CTC prefix beam search.
+
+Parity: wenet/transformer/search.py:125-247 — per-frame prefix expansion with
+the blank/repeat/new-prefix probability algebra (scores split into
+"ending in blank" pb and "ending in non-blank" pnb), prefix merging, top-N
+pruning. The reference keeps python dict prefixes per utterance; here the
+beam is dense tensors [B, N, Umax] (+ pb/pnb [B, N]) and the whole batch
+advances per frame in one fused program:
+
+  - stay-candidates: same prefix; pb' = (pb ⊕ pnb) + lp[blank],
+    pnb' = pnb + lp[last] (repeat merge);
+  - extend-candidates (top-k tokens, k = beam): prefix+u with
+    pnb' = (u == last ? pb : pb ⊕ pnb) + lp[u];
+  - duplicate prefixes merge via logaddexp; survivors = top-N by pb ⊕ pnb.
+
+Hotword ContextGraph biasing (wenet context_graph.py) hooks in at the
+extend-candidate scores; not yet implemented (SURVEY §7 step 9 long tail).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1.0e30
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, _NEG)
+    return m_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m_safe))
+
+
+@dataclass
+class PrefixBeam:
+    tokens: jnp.ndarray  # [B, N, Umax]
+    lens: jnp.ndarray  # [B, N]
+    pb: jnp.ndarray  # [B, N] log prob of prefix ending in blank
+    pnb: jnp.ndarray  # [B, N] log prob of prefix ending in its last token
+
+
+jax.tree_util.register_dataclass(
+    PrefixBeam, data_fields=["tokens", "lens", "pb", "pnb"], meta_fields=[]
+)
+
+
+def _first_occurrence_merge(tokens, lens, pb, pnb):
+    """Merge identical prefixes: logaddexp pb's and pnb's into the first
+    occurrence, squash the rest to -inf."""
+    same = jnp.all(tokens[:, :, None, :] == tokens[:, None, :, :], axis=-1)
+    same = same & (lens[:, :, None] == lens[:, None, :])
+    c = tokens.shape[1]
+    idx = jnp.arange(c)
+    first = jnp.argmax(same, axis=1)  # [B, C]
+    contrib = first[:, None, :] == idx[None, :, None]  # [B, C(i), C(j)]
+
+    def merge(scores):
+        cand = jnp.where(contrib, scores[:, None, :], _NEG)
+        m = jnp.maximum(jnp.max(cand, axis=-1), _NEG)
+        return m + jnp.log(jnp.sum(jnp.exp(cand - m[..., None]), axis=-1))
+
+    is_first = first == idx[None, :]
+    return (
+        jnp.where(is_first, merge(pb), _NEG),
+        jnp.where(is_first, merge(pnb), _NEG),
+    )
+
+
+def ctc_prefix_beam_search(
+    log_probs: jnp.ndarray,  # [B, T, V]
+    lens: jnp.ndarray,  # [B]
+    blank_id: int,
+    beam_size: int = 10,
+    max_tokens: int = 200,
+):
+    """-> (best tokens [B, max_tokens], best lens [B],
+           nbest (tokens [B, N, max_tokens], lens [B, N], scores [B, N]))."""
+    b, t, v = log_probs.shape
+    n = beam_size
+    umax = max_tokens
+
+    beam0 = PrefixBeam(
+        tokens=jnp.zeros((b, n, umax), jnp.int32),
+        lens=jnp.zeros((b, n), jnp.int32),
+        pb=jnp.full((b, n), _NEG).at[:, 0].set(0.0),
+        pnb=jnp.full((b, n), _NEG),
+    )
+
+    def frame_step(beam: PrefixBeam, inputs):
+        lp, active = inputs  # [B, V], [B]
+        last = jnp.take_along_axis(
+            beam.tokens, jnp.maximum(beam.lens - 1, 0)[..., None], axis=2
+        )[..., 0]
+        last = jnp.where(beam.lens > 0, last, blank_id)  # [B, N]
+        lp_last = jnp.take_along_axis(lp, last, axis=1)  # [B, N]
+        total = _logaddexp(beam.pb, beam.pnb)
+
+        # stay candidates
+        stay_pb = total + lp[:, blank_id][:, None]
+        stay_pnb = jnp.where(beam.lens > 0, beam.pnb + lp_last, _NEG)
+
+        # extend candidates: top-k non-blank tokens
+        lp_nb = lp.at[:, blank_id].set(_NEG)
+        top_lp, top_tok = jax.lax.top_k(lp_nb, n)  # [B, k]
+        is_repeat = top_tok[:, None, :] == last[:, :, None]  # [B, N, k]
+        base = jnp.where(is_repeat, beam.pb[..., None], total[..., None])
+        can_extend = beam.lens < umax
+        ext_pnb = jnp.where(can_extend[..., None], base + top_lp[:, None, :], _NEG)
+
+        from tpuasr.decode.rnnt_beam import _extend
+
+        extended = jax.vmap(_extend, in_axes=(0, 0, 0, None))(
+            beam.tokens, beam.lens, jnp.broadcast_to(top_tok[:, None, :], (b, n, n)), umax
+        )  # [B, N, k, U]
+
+        cand_tokens = jnp.concatenate(
+            [beam.tokens[:, :, None, :], extended], axis=2
+        ).reshape(b, n * (1 + n), umax)
+        cand_lens = jnp.concatenate(
+            [beam.lens[:, :, None], (beam.lens + 1)[:, :, None].repeat(n, 2)], axis=2
+        ).reshape(b, n * (1 + n))
+        cand_pb = jnp.concatenate(
+            [stay_pb[:, :, None], jnp.full((b, n, n), _NEG)], axis=2
+        ).reshape(b, n * (1 + n))
+        cand_pnb = jnp.concatenate([stay_pnb[:, :, None], ext_pnb], axis=2).reshape(
+            b, n * (1 + n)
+        )
+
+        m_pb, m_pnb = _first_occurrence_merge(cand_tokens, cand_lens, cand_pb, cand_pnb)
+        score = _logaddexp(m_pb, m_pnb)
+        _, sel = jax.lax.top_k(score, n)
+        new = PrefixBeam(
+            tokens=jnp.take_along_axis(cand_tokens, sel[..., None], axis=1),
+            lens=jnp.take_along_axis(cand_lens, sel, axis=1),
+            pb=jnp.take_along_axis(m_pb, sel, axis=1),
+            pnb=jnp.take_along_axis(m_pnb, sel, axis=1),
+        )
+        keep = active[:, None]
+        beam = PrefixBeam(
+            tokens=jnp.where(keep[..., None], new.tokens, beam.tokens),
+            lens=jnp.where(keep, new.lens, beam.lens),
+            pb=jnp.where(keep, new.pb, beam.pb),
+            pnb=jnp.where(keep, new.pnb, beam.pnb),
+        )
+        return beam, None
+
+    valid = jnp.arange(t)[None, :] < lens[:, None]
+    xs = (jnp.swapaxes(log_probs, 0, 1), jnp.swapaxes(valid, 0, 1))
+    beam, _ = jax.lax.scan(frame_step, beam0, xs)
+
+    score = _logaddexp(beam.pb, beam.pnb)
+    best = jnp.argmax(score, axis=1)
+    best_tokens = jnp.take_along_axis(beam.tokens, best[:, None, None], axis=1)[:, 0]
+    best_lens = jnp.take_along_axis(beam.lens, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_lens, (beam.tokens, beam.lens, score)

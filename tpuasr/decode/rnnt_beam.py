@@ -1,0 +1,228 @@
+"""Batched, jit-compiled frame-synchronous RNN-T beam search.
+
+Parity targets: the reference's streaming chunk beam search
+(model/online_rnnt_model.py:389-522 — per-hypothesis predictor states,
+blank/non-blank expansion, dedup by token tuple, keep beam_size) and wenet's
+PrefixBeamSearch (wenet/transducer/search/prefix_beam_search.py:7-148 —
+breadth-first beam with one emission per frame, prefix merge via log-add).
+
+TPU design (SURVEY §7 hard-part 3): the reference deep-copies LSTM states per
+hypothesis per frame in Python (online_rnnt_model.py:427, 524-532) — launch
+overhead dominated. Here hypothesis state is dense tensors:
+
+  tokens [B, N, Umax] / lens [B, N] / logp [B, N] / LSTM state [L, B, N, H]
+
+advanced with batched matmuls over B*N lanes and gathered (not copied) on
+beam selection. Per frame: every live hyp proposes `blank` (state frozen) and
+the top-k non-blank extensions (state advanced); identical-prefix candidates
+merge via logaddexp (duplicate detection by exact token-array compare — C x C
+comparisons on-device, C = N * (k + 1)); top-N survive.
+
+Emission policy: one non-blank emission per frame (wenet PrefixBeamSearch's
+simplification, prefix_beam_search.py:75-77). RNN-T can in principle emit
+several tokens per frame; greedy decode here supports n_steps > 1, and the
+beam can be extended the same way in a later pass if CER demands it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -1.0e30
+
+
+@dataclass
+class BeamCarry:
+    tokens: jnp.ndarray  # [B, N, Umax] int32
+    lens: jnp.ndarray  # [B, N] int32
+    logp: jnp.ndarray  # [B, N] f32
+    pred_state: Any  # ([L, B, N, H], [L, B, N, H])
+
+
+jax.tree_util.register_dataclass(
+    BeamCarry, data_fields=["tokens", "lens", "logp", "pred_state"], meta_fields=[]
+)
+
+
+def init_beam_carry(model, params, batch: int, beam: int, max_tokens: int) -> BeamCarry:
+    ps = model.apply(params, batch * beam, method="init_predictor_state")
+    ps = jax.tree.map(lambda x: x.reshape(x.shape[0], batch, beam, x.shape[-1]), ps)
+    logp = jnp.full((batch, beam), _NEG).at[:, 0].set(0.0)
+    return BeamCarry(
+        tokens=jnp.zeros((batch, beam, max_tokens), jnp.int32),
+        lens=jnp.zeros((batch, beam), jnp.int32),
+        logp=logp,
+        pred_state=ps,
+    )
+
+
+def _merge_duplicates(tokens, lens, logp):
+    """logaddexp-merge candidates with identical token sequences.
+
+    tokens [B, C, U], lens [B, C], logp [B, C] -> merged logp with duplicates
+    (non-first occurrences) squashed to -inf.
+    """
+    same_tok = jnp.all(tokens[:, :, None, :] == tokens[:, None, :, :], axis=-1)
+    same = same_tok & (lens[:, :, None] == lens[:, None, :])  # [B, C, C]
+    c = tokens.shape[1]
+    idx = jnp.arange(c)
+    # first occurrence index for each candidate j
+    first = jnp.argmax(same, axis=1)  # [B, C] (first True along i)
+    contrib = first[:, None, :] == idx[None, :, None]  # [B, C(i), C(j)]
+    cand = jnp.where(contrib, logp[:, None, :], _NEG)
+    m = jnp.max(cand, axis=-1)
+    m_safe = jnp.maximum(m, _NEG)
+    merged = m_safe + jnp.log(jnp.sum(jnp.exp(cand - m_safe[..., None]), axis=-1))
+    is_first = first == idx[None, :]
+    return jnp.where(is_first, merged, _NEG)
+
+
+def beam_frames(
+    model,
+    params,
+    enc_frames: jnp.ndarray,  # [B, F, D]
+    frame_valid: jnp.ndarray,  # [B, F] bool
+    carry: BeamCarry,
+    blank_id: int,
+    expand_k: int | None = None,
+) -> BeamCarry:
+    """Advance the beam over F encoder frames."""
+    b, f, _ = enc_frames.shape
+    n = carry.logp.shape[1]
+    umax = carry.tokens.shape[2]
+    k = expand_k if expand_k is not None else n
+
+    enc_proj = model.apply(params, enc_frames, method=lambda m, e: m.joint.project_enc(e))
+
+    def pred_step(tokens, state):
+        return model.apply(params, tokens, state, None, method="predict_step")
+
+    def joint_from_proj(enc_p, pred_out):
+        def run(m, e, p):
+            return m.joint.head_from_projected(e + m.joint.project_pred(p))
+
+        return model.apply(params, enc_p, pred_out, method=run)
+
+    def frame_step(carry: BeamCarry, inputs):
+        enc_p_t, active = inputs  # [B, Dj], [B]
+
+        # last token per hyp (blank if empty)
+        last = jnp.take_along_axis(
+            carry.tokens, jnp.maximum(carry.lens - 1, 0)[..., None], axis=2
+        )[..., 0]
+        last = jnp.where(carry.lens > 0, last, blank_id)  # [B, N]
+
+        flat_state = jax.tree.map(
+            lambda x: x.reshape(x.shape[0], b * n, x.shape[-1]), carry.pred_state
+        )
+        pred_out, new_flat_state = pred_step(last.reshape(b * n), flat_state)
+        pred_out = pred_out.reshape(b, n, -1)
+        adv_state = jax.tree.map(
+            lambda x: x.reshape(x.shape[0], b, n, x.shape[-1]), new_flat_state
+        )
+
+        logits = joint_from_proj(
+            jnp.repeat(enc_p_t[:, None, :], n, axis=1), pred_out
+        )  # [B, N, V]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        # candidate 0 per hyp: blank (keep tokens & state)
+        blank_logp = carry.logp + lp[..., blank_id]
+        # top-k non-blank extensions per hyp
+        lp_nb = lp.at[..., blank_id].set(_NEG)
+        top_lp, top_tok = jax.lax.top_k(lp_nb, k)  # [B, N, k]
+        can_extend = carry.lens < umax
+        ext_logp = jnp.where(
+            can_extend[..., None], carry.logp[..., None] + top_lp, _NEG
+        )
+
+        # assemble C = N * (1 + k) candidates
+        extended = jax.vmap(_extend, in_axes=(0, 0, 0, None))(
+            carry.tokens, carry.lens, top_tok, umax
+        )  # [B, N, k, U]
+        cand_tokens = jnp.concatenate(
+            [carry.tokens[:, :, None, :], extended], axis=2
+        ).reshape(b, n * (1 + k), umax)
+        cand_lens = jnp.concatenate(
+            [carry.lens[:, :, None], (carry.lens + 1)[:, :, None].repeat(k, 2)], axis=2
+        ).reshape(b, n * (1 + k))
+        cand_logp = jnp.concatenate(
+            [blank_logp[:, :, None], ext_logp], axis=2
+        ).reshape(b, n * (1 + k))
+        # candidate i uses frozen state if blank else advanced state of its hyp
+        cand_from_hyp = jnp.arange(n)[:, None].repeat(1 + k, 1).reshape(-1)  # [C]
+        cand_is_blank = (
+            jnp.arange(1 + k)[None, :].repeat(n, 0).reshape(-1) == 0
+        )  # [C]
+
+        merged = _merge_duplicates(cand_tokens, cand_lens, cand_logp)
+        new_logp, sel = jax.lax.top_k(merged, n)  # [B, N]
+
+        sel_tokens = jnp.take_along_axis(cand_tokens, sel[..., None], axis=1)
+        sel_lens = jnp.take_along_axis(cand_lens, sel, axis=1)
+        sel_hyp = cand_from_hyp[sel]  # [B, N] source hyp index
+        sel_blank = cand_is_blank[sel]  # [B, N]
+
+        def gather_state(adv, old):
+            # [L, B, N, H] gather over hyp dim, choose frozen vs advanced
+            a = jnp.take_along_axis(adv, sel_hyp[None, :, :, None], axis=2)
+            o = jnp.take_along_axis(old, sel_hyp[None, :, :, None], axis=2)
+            return jnp.where(sel_blank[None, :, :, None], o, a)
+
+        new_state = jax.tree.map(gather_state, adv_state, carry.pred_state)
+
+        new_carry = BeamCarry(
+            tokens=sel_tokens, lens=sel_lens, logp=new_logp, pred_state=new_state
+        )
+        # inactive frames: carry through untouched
+        keep = active.reshape(b, 1)
+        out = BeamCarry(
+            tokens=jnp.where(keep[..., None], new_carry.tokens, carry.tokens),
+            lens=jnp.where(keep, new_carry.lens, carry.lens),
+            logp=jnp.where(keep, new_carry.logp, carry.logp),
+            pred_state=jax.tree.map(
+                lambda a, o: jnp.where(active.reshape(1, b, 1, 1), a, o),
+                new_carry.pred_state,
+                carry.pred_state,
+            ),
+        )
+        return out, None
+
+    xs = (jnp.swapaxes(enc_proj, 0, 1), jnp.swapaxes(frame_valid, 0, 1))
+    carry, _ = jax.lax.scan(frame_step, carry, xs)
+    return carry
+
+
+def _extend(tokens, lens, top_tok, umax):
+    """tokens [N, U], lens [N], top_tok [N, k] -> [N, k, U] extended copies."""
+    n, u = tokens.shape
+    k = top_tok.shape[1]
+    base = jnp.broadcast_to(tokens[:, None, :], (n, k, u))
+    slot = jnp.minimum(lens, u - 1)  # [N]
+    onehot = jax.nn.one_hot(slot, u, dtype=tokens.dtype)  # [N, U]
+    return base * (1 - onehot[:, None, :]) + top_tok[..., None] * onehot[:, None, :]
+
+
+def rnnt_beam_decode(
+    model,
+    params,
+    enc_out: jnp.ndarray,  # [B, T, D]
+    enc_lens: jnp.ndarray,  # [B]
+    blank_id: int,
+    beam_size: int = 4,
+    max_tokens: int = 200,
+):
+    """Offline beam search -> (best tokens [B, max_tokens], lens [B],
+    nbest tokens [B, N, max_tokens], nbest lens, nbest logp)."""
+    b, t, _ = enc_out.shape
+    carry = init_beam_carry(model, params, b, beam_size, max_tokens)
+    valid = jnp.arange(t)[None, :] < enc_lens[:, None]
+    carry = beam_frames(model, params, enc_out, valid, carry, blank_id)
+    best = jnp.argmax(carry.logp, axis=1)
+    best_tokens = jnp.take_along_axis(carry.tokens, best[:, None, None], axis=1)[:, 0]
+    best_lens = jnp.take_along_axis(carry.lens, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_lens, carry.tokens, carry.lens, carry.logp

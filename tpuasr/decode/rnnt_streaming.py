@@ -18,6 +18,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from tpuasr.decode.rnnt_beam import BeamCarry, beam_frames, init_beam_carry
 from tpuasr.decode.rnnt_greedy import GreedyCarry, greedy_frames, init_greedy_carry
 from tpuasr.nn.conformer import EncoderStreamState
 from tpuasr.streaming.chunkwise import chunk_windows, num_chunks
@@ -102,3 +103,81 @@ def streaming_greedy_decode(
 
     state, _ = jax.lax.scan(step, state, windows)
     return state.dec.hyp[:, :max_tokens], state.dec.hyp_len, state
+
+
+# ---------------------------------------------------------------------------
+# streaming beam search (model/online_rnnt_model.py:534-645 parity, batched)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StreamingBeamState:
+    enc: EncoderStreamState
+    beam: BeamCarry
+    enc_lens: jnp.ndarray  # [B]
+
+
+jax.tree_util.register_dataclass(
+    StreamingBeamState, data_fields=["enc", "beam", "enc_lens"], meta_fields=[]
+)
+
+
+def init_streaming_beam_state(
+    model, params, batch, chunk_size, num_left_chunks, beam_size, max_tokens=200,
+    enc_lens=None,
+) -> StreamingBeamState:
+    enc = model.apply(params, batch, chunk_size, num_left_chunks,
+                      method="init_encoder_state")
+    beam = init_beam_carry(model, params, batch, beam_size, max_tokens)
+    if enc_lens is None:
+        enc_lens = jnp.full((batch,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    return StreamingBeamState(enc=enc, beam=beam, enc_lens=jnp.asarray(enc_lens, jnp.int32))
+
+
+def process_chunk_beam(
+    model, params, chunk_feats, state: StreamingBeamState, blank_id: int
+) -> StreamingBeamState:
+    """Encode one chunk and advance the beam over its frames
+    (process_single_chunk_beam_search parity, batched)."""
+    ys, enc_state = model.apply(params, chunk_feats, state.enc, method="encode_chunk")
+    chunk = ys.shape[1]
+    frame_idx = state.enc.offset + jnp.arange(chunk)[None, :]
+    valid = frame_idx < state.enc_lens[:, None]
+    beam = beam_frames(model, params, ys, valid, state.beam, blank_id)
+    return StreamingBeamState(enc=enc_state, beam=beam, enc_lens=state.enc_lens)
+
+
+def streaming_beam_decode(
+    model,
+    params,
+    feats: jnp.ndarray,
+    feat_lens: jnp.ndarray,
+    chunk_size: int,
+    num_left_chunks: int,
+    blank_id: int,
+    beam_size: int = 4,
+    max_tokens: int = 200,
+):
+    """Whole-utterance simulated streaming beam search ->
+    (best tokens, best lens, final state)."""
+    from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES, subsampled_len
+
+    cfg = model.cfg.encoder
+    sub = SUBSAMPLE_CLASSES[cfg.input_layer]
+    b, t, _ = feats.shape
+    n = num_chunks(t, chunk_size, sub.subsampling_rate, sub.right_context)
+    enc_lens = subsampled_len(cfg.input_layer, feat_lens)
+
+    windows = chunk_windows(feats, chunk_size, sub.subsampling_rate, sub.right_context, n)
+    state = init_streaming_beam_state(
+        model, params, b, chunk_size, num_left_chunks, beam_size, max_tokens, enc_lens
+    )
+
+    def step(state, xs):
+        return process_chunk_beam(model, params, xs, state, blank_id), None
+
+    state, _ = jax.lax.scan(step, state, windows)
+    best = jnp.argmax(state.beam.logp, axis=1)
+    tokens = jnp.take_along_axis(state.beam.tokens, best[:, None, None], axis=1)[:, 0]
+    lens = jnp.take_along_axis(state.beam.lens, best[:, None], axis=1)[:, 0]
+    return tokens, lens, state

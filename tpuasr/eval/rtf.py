@@ -1,0 +1,102 @@
+"""Real-time-factor / per-chunk latency benchmark.
+
+Parity: online_rnnt_delay.py:14-204 — wall-clock around each chunk's
+`process_chunk` call divided by the chunk's audio duration, with
+mean/p50/p80/p90/p95/max percentiles, for both greedy and beam streaming
+paths. Chunk audio duration = chunk_size * subsampling_rate * hop / sr
+(rnnt_common.py:16-18: 32 enc frames x 4 x 512 / 48k ≈ 1.37 s; the reference
+quotes 10 ms frames → 1.28 s).
+
+Measured on the jit-compiled incremental APIs with `block_until_ready` so the
+timings are device wall-clock, not dispatch time; the first (compile) chunk is
+excluded via warmup.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuasr.config import Config
+from tpuasr.decode.rnnt_streaming import (
+    init_streaming_beam_state,
+    init_streaming_state,
+    process_chunk,
+    process_chunk_beam,
+)
+from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES
+from tpuasr.streaming.chunkwise import chunk_windows, num_chunks
+
+
+@dataclass
+class RtfStats:
+    rtf_mean: float
+    rtf_p50: float
+    rtf_p80: float
+    rtf_p90: float
+    rtf_p95: float
+    rtf_max: float
+    chunk_audio_seconds: float
+    n_chunks: int
+
+    @staticmethod
+    def from_times(times, chunk_audio_seconds):
+        r = np.asarray(times) / chunk_audio_seconds
+        return RtfStats(
+            float(r.mean()), float(np.percentile(r, 50)), float(np.percentile(r, 80)),
+            float(np.percentile(r, 90)), float(np.percentile(r, 95)), float(r.max()),
+            chunk_audio_seconds, len(times),
+        )
+
+
+def measure_rtf(
+    model,
+    params,
+    feats: jnp.ndarray,  # [B, T, F] features of the test stream(s)
+    cfg: Config,
+    mode: str = "greedy",  # greedy | beam
+    beam_size: int = 4,
+    n_steps: int = 10,
+    warmup_chunks: int = 2,
+) -> RtfStats:
+    c = cfg.model
+    chunk = cfg.streaming.chunk_size
+    left = cfg.streaming.num_left_chunks
+    sub = SUBSAMPLE_CLASSES[c.encoder.input_layer]
+    b, t, _ = feats.shape
+    n = num_chunks(t, chunk, sub.subsampling_rate, sub.right_context)
+    windows = chunk_windows(feats, chunk, sub.subsampling_rate, sub.right_context, n)
+    chunk_audio_seconds = (
+        chunk * sub.subsampling_rate * cfg.feature.hop_length / cfg.feature.sample_rate
+    )
+
+    if mode == "greedy":
+        state = init_streaming_state(model, params, b, chunk, left, c.blank_id)
+        step = jax.jit(
+            lambda xs, st: process_chunk(model, params, xs, st, c.blank_id, n_steps)
+        )
+    elif mode == "beam":
+        state = init_streaming_beam_state(model, params, b, chunk, left, beam_size)
+        step = jax.jit(
+            lambda xs, st: process_chunk_beam(model, params, xs, st, c.blank_id)
+        )
+    else:
+        raise ValueError(mode)
+
+    # warmup (compile) on the first windows without counting them
+    warm_state = state
+    for i in range(min(warmup_chunks, n)):
+        warm_state = step(windows[i], warm_state)
+    jax.block_until_ready(warm_state)
+
+    times = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        state = step(windows[i], state)
+        jax.block_until_ready(state)
+        times.append(time.perf_counter() - t0)
+    return RtfStats.from_times(times, chunk_audio_seconds)
