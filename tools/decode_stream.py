@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Single-utterance streaming decode demo (online_rnnt_decode.py parity):
+feeds one wav chunk-by-chunk through the incremental APIs and prints the
+per-chunk incremental greedy output and the final beam candidates."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--wav", required=True)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--beam_size", type=int, default=4)
+    ap.add_argument("--vocab", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tools.train import build_model, parse_overrides
+    from tpuasr.audio import fbank
+    from tpuasr.config import Config, load_yaml, override
+    from tpuasr.data.bznsyp import read_wav
+    from tpuasr.decode.rnnt_streaming import (
+        init_streaming_beam_state, init_streaming_state, process_chunk,
+        process_chunk_beam,
+    )
+    from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES
+    from tpuasr.streaming.chunkwise import chunk_windows, num_chunks
+    from tpuasr.text import Tokenizer
+    from tpuasr.train import TrainState, make_optimizer
+    from tpuasr.train.checkpoint import restore_checkpoint
+
+    cfg = load_yaml(args.config) if args.config else Config()
+    cfg = override(cfg, parse_overrides(args.set))
+    tokenizer = Tokenizer(args.vocab or (cfg.data.vocab_file if os.path.exists(cfg.data.vocab_file) else None))
+    cfg.model.vocab_size = tokenizer.size
+
+    model = build_model(cfg, "online_rnnt")
+    wave, sr = read_wav(args.wav)
+    cfg.feature.sample_rate = sr
+    feats = fbank(np.asarray(wave), cfg.feature)[None]  # [1, T, 80]
+
+    params0 = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 80), np.float32),
+        np.array([64], np.int32), np.zeros((1, 4), np.int32), np.array([4], np.int32),
+    )
+    tx = make_optimizer(cfg.optim)
+    state = restore_checkpoint(args.checkpoint, TrainState.create(params0, tx))
+    params = state.params
+
+    c = cfg.model
+    chunk, left = cfg.streaming.chunk_size, cfg.streaming.num_left_chunks
+    sub = SUBSAMPLE_CLASSES[c.encoder.input_layer]
+    t = feats.shape[1]
+    n = num_chunks(t, chunk, sub.subsampling_rate, sub.right_context)
+    windows = chunk_windows(jnp.asarray(feats), chunk, sub.subsampling_rate,
+                            sub.right_context, n)
+
+    print(f"=== streaming greedy ({n} chunks of "
+          f"{chunk * sub.subsampling_rate * cfg.feature.hop_length / sr:.2f}s) ===")
+    g_state = init_streaming_state(model, params, 1, chunk, left, c.blank_id)
+    for i in range(n):
+        g_state = process_chunk(model, params, windows[i], g_state, c.blank_id,
+                                cfg.streaming.n_steps)
+        hyp = np.asarray(g_state.dec.hyp[0, : int(g_state.dec.hyp_len[0])])
+        print(f"chunk {i + 1:3d}: {' '.join(tokenizer.decode(hyp.tolist()))}")
+
+    print(f"=== streaming beam-{args.beam_size} ===")
+    b_state = init_streaming_beam_state(model, params, 1, chunk, left, args.beam_size)
+    for i in range(n):
+        b_state = process_chunk_beam(model, params, windows[i], b_state, c.blank_id)
+    order = np.argsort(-np.asarray(b_state.beam.logp[0]))
+    for rank, j in enumerate(order):
+        lp = float(b_state.beam.logp[0, j])
+        if lp < -1e29:
+            continue
+        hyp = np.asarray(b_state.beam.tokens[0, j, : int(b_state.beam.lens[0, j])])
+        print(f"cand {rank + 1} (logp {lp:8.2f}): "
+              f"{' '.join(tokenizer.decode(hyp.tolist()))}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Offline evaluation CLI (rnnt_eval.py parity): decode dev/test with CTC
+greedy / RNN-T greedy / RNN-T beam, report corpus CER with S/D/I breakdown
+and REF/HYP samples."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--workload", choices=["rnnt", "online_rnnt"], default="rnnt")
+    ap.add_argument("--mode", choices=["ctc_greedy", "rnnt_greedy", "rnnt_beam"],
+                    default="rnnt_greedy")
+    ap.add_argument("--split", choices=["dev", "test"], default="dev")
+    ap.add_argument("--beam_size", type=int, default=4)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--data_root", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    from tools.train import build_model, parse_overrides
+    from tpuasr.config import Config, load_yaml, override
+    from tpuasr.eval import evaluate_offline
+    from tpuasr.text import Tokenizer
+    from tpuasr.train import TrainState, make_optimizer
+    from tpuasr.train.checkpoint import restore_checkpoint
+
+    cfg = load_yaml(args.config) if args.config else Config()
+    cfg = override(cfg, parse_overrides(args.set))
+
+    if args.synthetic:
+        from tpuasr.data.corpus import synthetic_pipeline
+
+        tokenizer = Tokenizer(tokens=[f"syl{i}" for i in range(cfg.model.vocab_size - 6)])
+        pipe = synthetic_pipeline(cfg, args.synthetic, seed=1)
+    else:
+        from tpuasr.data.corpus import make_pipeline, scan_split
+
+        tokenizer = Tokenizer(cfg.data.vocab_file)
+        cfg.model.vocab_size = tokenizer.size
+        scp = cfg.data.dev_wav_scp if args.split == "dev" else cfg.data.test_wav_scp
+        txt = cfg.data.dev_text if args.split == "dev" else cfg.data.test_text
+        pipe = make_pipeline(scan_split(scp, txt, tokenizer, args.data_root), cfg)
+
+    model = build_model(cfg, args.workload)
+    first = next(iter(pipe.batches(0)))
+    feats_t = 1 + first["waves"].shape[1] // cfg.feature.hop_length
+    b = first["waves"].shape[0]
+    params0 = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((b, feats_t, 80), np.float32), np.full((b,), feats_t, np.int32),
+        first["texts"], first["text_lens"],
+    )
+    tx = make_optimizer(cfg.optim)
+    state = restore_checkpoint(args.checkpoint, TrainState.create(params0, tx))
+
+    res = evaluate_offline(model, state.params, pipe.batches(0), cfg, tokenizer,
+                           mode=args.mode, beam_size=args.beam_size)
+    c = res.counts
+    print(f"CER {100 * c.cer:.2f}%  (S={c.substitutions} D={c.deletions} "
+          f"I={c.insertions} N={c.ref_len})")
+    for utt, ref, hyp in res.samples:
+        print(f"  [{utt}] REF: {ref}")
+        print(f"  [{utt}] HYP: {hyp}")
+
+
+if __name__ == "__main__":
+    main()

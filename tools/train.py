@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Unified training CLI for all three workloads.
+
+Parity: run.py (CTC), rnnt_train.py (offline RNN-T), online_rnnt_train.py
+(streaming RNN-T) — one driver, workload selected by flag:
+
+    python tools/train.py --workload ctc|rnnt|online_rnnt \\
+        [--config cfg.yaml] [--set model.encoder.num_blocks=6 ...] \\
+        [--synthetic N] [--data_root DIR] [--epochs E]
+
+Multi-host: launch one process per host with `jax.distributed` env vars set;
+data shards per host automatically (deterministic steps-per-epoch — no
+barrier machinery needed, SURVEY §2.7 elastic row).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        try:
+            import ast
+
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def build_model(cfg, workload):
+    from tpuasr.models import Transducer
+
+    if workload == "online_rnnt":
+        cfg.model.encoder.causal = True
+        cfg.model.encoder.use_dynamic_chunk = True
+        if cfg.model.encoder.static_chunk_size == 0:
+            cfg.model.encoder.static_chunk_size = cfg.streaming.chunk_size
+    return Transducer(cfg.model)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workload", choices=["ctc", "rnnt", "online_rnnt"],
+                    default="online_rnnt")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--set", nargs="*", default=[], help="dotted overrides k=v")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="train on N synthetic utterances instead of BZNSYP")
+    ap.add_argument("--data_root", default="")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--resume", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from tpuasr.config import Config, load_yaml, override, summarize
+    from tpuasr.parallel import make_mesh
+    from tpuasr.text import Tokenizer
+    from tpuasr.train import TrainState, make_optimizer, make_train_step
+    from tpuasr.train.loop import train_loop
+
+    cfg = load_yaml(args.config) if args.config else Config()
+    cfg = override(cfg, parse_overrides(args.set))
+    print(summarize(cfg))
+
+    if args.synthetic:
+        from tpuasr.data.corpus import synthetic_pipeline
+
+        tokenizer = Tokenizer(tokens=[f"syl{i}" for i in range(cfg.model.vocab_size - 6)])
+        train_pipe = synthetic_pipeline(cfg, args.synthetic, seed=0)
+        dev_pipe = synthetic_pipeline(cfg, max(args.synthetic // 8, 4), seed=1)
+    else:
+        from tpuasr.data.corpus import make_pipeline, scan_split
+
+        tokenizer = Tokenizer(cfg.data.vocab_file if os.path.exists(cfg.data.vocab_file) else None)
+        cfg.model.vocab_size = tokenizer.size
+        train_items = scan_split(cfg.data.train_wav_scp, cfg.data.train_text,
+                                 tokenizer, args.data_root)
+        dev_items = scan_split(cfg.data.dev_wav_scp, cfg.data.dev_text,
+                               tokenizer, args.data_root)
+        kw = dict(host_id=jax.process_index(), num_hosts=jax.process_count())
+        train_pipe = make_pipeline(train_items, cfg, **kw)
+        dev_pipe = make_pipeline(dev_items, cfg, **kw)
+
+    if args.workload == "ctc":
+        # CTC-only: keep the Transducer assembly but zero the rnnt branch? No —
+        # use the dedicated small CTCModel (model/model.py parity).
+        _train_ctc(cfg, tokenizer, train_pipe, dev_pipe, args)
+        return
+
+    model = build_model(cfg, args.workload)
+    first = next(iter(train_pipe.batches(0)))
+    feats_t = 1 + first["waves"].shape[1] // cfg.feature.hop_length
+    b = first["waves"].shape[0]
+    params = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        np.zeros((b, feats_t, 80), np.float32), np.full((b,), feats_t, np.int32),
+        first["texts"], first["text_lens"],
+    )
+    tx = make_optimizer(cfg.optim)
+    state = TrainState.create(params, tx)
+    if args.resume:
+        from tpuasr.train.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.resume, state)
+
+    mesh = make_mesh(model_parallel_size=cfg.mesh.model_parallel_size)
+    import contextlib
+
+    with jax.set_mesh(mesh) if len(jax.devices()) > 1 else contextlib.nullcontext():
+        result = train_loop(cfg, model, state, train_pipe, dev_pipe,
+                            mesh=mesh if len(jax.devices()) > 1 else None,
+                            epochs=args.epochs)
+    print("final train loss:", result.train_losses[-1] if result.train_losses else None)
+
+
+def _train_ctc(cfg, tokenizer, train_pipe, dev_pipe, args):
+    """CTC workload on the dedicated small conformer (run.py parity)."""
+    import jax
+
+    from tpuasr.audio import fbank_batch
+    from tpuasr.models import CTCModel
+    from tpuasr.train import TrainState, make_optimizer
+    from tpuasr.train.loop import train_loop
+
+    model = CTCModel(cfg.ctc_model, cfg.model.vocab_size, cfg.model.blank_id)
+    first = next(iter(train_pipe.batches(0)))
+    feats_t = 1 + first["waves"].shape[1] // cfg.feature.hop_length
+    b = first["waves"].shape[0]
+    params = model.init(
+        jax.random.PRNGKey(cfg.train.seed),
+        np.zeros((b, feats_t, 80), np.float32), np.full((b,), feats_t, np.int32),
+        first["texts"], first["text_lens"],
+    )
+    tx = make_optimizer(cfg.optim)
+    state = TrainState.create(params, tx)
+
+    import optax
+
+    def step_fn(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            feats, feat_lens = fbank_batch(batch["waves"], batch["wave_lens"], cfg.feature)
+            _, _, loss = model.apply(
+                {"params": p, **{k: v for k, v in state.params.items() if k != "params"}},
+                feats, feat_lens, batch["texts"], batch["text_lens"],
+                deterministic=False, rngs={"dropout": rng},
+            )
+            return loss
+
+        (loss), grads = jax.value_and_grad(loss_fn)(state.params["params"])
+        gn = optax.global_norm(grads)
+        finite = jax.numpy.isfinite(loss) & jax.numpy.isfinite(gn)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params["params"])
+        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
+        new_params = optax.apply_updates(state.params["params"], updates)
+        sel = lambda a, b2: jax.tree.map(lambda x, y: jax.numpy.where(finite, x, y), a, b2)
+        return state.replace(
+            params={**state.params, "params": sel(new_params, state.params["params"])},
+            opt_state=sel(opt_state, state.opt_state),
+            step=state.step + 1,
+            skipped=state.skipped + (1 - finite.astype(jax.numpy.int32)),
+        ), {
+            "loss": loss, "grad_norm": gn, "finite": finite,
+            "audio_seconds": jax.numpy.sum(batch["wave_lens"]) / cfg.feature.sample_rate,
+        }
+
+    step_fn = jax.jit(step_fn)
+
+    def eval_fn(variables, batch, rng):
+        feats, feat_lens = fbank_batch(batch["waves"], batch["wave_lens"], cfg.feature)
+        _, _, loss = model.apply(variables, feats, feat_lens, batch["texts"], batch["text_lens"])
+        return {"loss": loss}
+
+    eval_fn = jax.jit(eval_fn)
+    result = train_loop(cfg, model, state, train_pipe, dev_pipe,
+                        step_fn=step_fn, eval_fn=eval_fn, epochs=args.epochs)
+    print("final train loss:", result.train_losses[-1] if result.train_losses else None)
+
+
+if __name__ == "__main__":
+    main()

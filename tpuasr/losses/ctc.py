@@ -97,7 +97,7 @@ def ctc_loss(
     return jnp.where(feasible, nll, jax.lax.stop_gradient(nll) * 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "reduction"))
+@functools.partial(jax.jit, static_argnames=("blank", "reduction", "use_pallas"))
 def ctc_loss_from_logits(
     logits: jnp.ndarray,
     input_lens: jnp.ndarray,
@@ -105,11 +105,21 @@ def ctc_loss_from_logits(
     label_lens: jnp.ndarray,
     blank: int = 0,
     reduction: str = "sum_over_batch",
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Reference head semantics (model/rnnt_model.py:40-60): log_softmax +
-    CTCLoss(reduction='sum') / batch."""
+    CTCLoss(reduction='sum') / batch. On TPU the lattice runs as the fused
+    Pallas forward-backward kernel (tpuasr.ops.ctc_pallas) by default."""
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = ctc_loss(lp, input_lens, labels, label_lens, blank)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from tpuasr.ops.ctc_pallas import ctc_loss_pallas
+
+        nll = ctc_loss_pallas(lp, input_lens, labels, label_lens, blank,
+                              interpret=jax.default_backend() != "tpu")
+    else:
+        nll = ctc_loss(lp, input_lens, labels, label_lens, blank)
     if reduction == "none":
         return nll
     if reduction == "sum":

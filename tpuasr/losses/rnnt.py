@@ -183,7 +183,7 @@ def rnnt_loss(
     return jnp.where(feasible, nll, jax.lax.stop_gradient(nll) * 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "reduction"))
+@functools.partial(jax.jit, static_argnames=("blank", "reduction", "use_pallas"))
 def rnnt_loss_from_logits(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -191,10 +191,21 @@ def rnnt_loss_from_logits(
     u_lens: jnp.ndarray,
     blank: int,
     reduction: str = "mean",
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """torchaudio-parity entry: raw joint logits in, reduced loss out."""
+    """torchaudio-parity entry: raw joint logits in, reduced loss out. On TPU
+    the lattice runs as the fused Pallas alphas/betas kernel
+    (tpuasr.ops.rnnt_pallas) by default."""
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = rnnt_loss(lp, labels, t_lens, u_lens, blank)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from tpuasr.ops.rnnt_pallas import rnnt_loss_pallas
+
+        nll = rnnt_loss_pallas(lp, labels, t_lens, u_lens, blank,
+                               interpret=jax.default_backend() != "tpu")
+    else:
+        nll = rnnt_loss(lp, labels, t_lens, u_lens, blank)
     if reduction == "none":
         return nll
     if reduction == "mean":
