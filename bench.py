@@ -31,6 +31,7 @@ def main():
 
     cfg = Config()
     cfg.feature.sample_rate = 16000
+    cfg.model.compute_dtype = "bfloat16"
     cfg.model.encoder.causal = True
     cfg.model.encoder.use_dynamic_chunk = True
     cfg.model.encoder.static_chunk_size = 32

@@ -1,0 +1,94 @@
+"""Hybrid CTC+AED model tests: loss forward, label smoothing parity with
+torch KLDivLoss semantics, attention rescoring selects the reference-scored
+hypothesis."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tpuasr.config import EncoderConfig
+from tpuasr.decode.ctc_prefix_beam import ctc_prefix_beam_search
+from tpuasr.models.asr_model import AEDConfig, ASRModel, attention_rescoring
+from tpuasr.nn.decoder import label_smoothing_loss
+
+VOCAB = 24
+
+
+def _cfg():
+    return AEDConfig(
+        vocab_size=VOCAB,
+        encoder=EncoderConfig(
+            output_size=32, attention_heads=2, linear_units=64, num_blocks=2,
+            cnn_module_kernel=7, dropout_rate=0.0, positional_dropout_rate=0.0,
+        ),
+        decoder_blocks=2, decoder_heads=2, decoder_ffn=64,
+    )
+
+
+@pytest.fixture(scope="module")
+def aed():
+    cfg = _cfg()
+    model = ASRModel(cfg)
+    feats = np.zeros((2, 67, 80), np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), feats, np.array([67, 50], np.int32),
+        np.full((2, 5), 7, np.int32), np.array([5, 3], np.int32),
+    )
+    return model, params, cfg
+
+
+def test_aed_loss_forward(aed, rng):
+    model, params, cfg = aed
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    out = model.apply(params, feats, np.array([67, 50], np.int32),
+                      rng.integers(6, VOCAB, (2, 5)).astype(np.int32),
+                      np.array([5, 3], np.int32))
+    assert np.isfinite(float(out["loss"]))
+    np.testing.assert_allclose(
+        float(out["loss"]),
+        0.3 * float(out["loss_ctc"]) + 0.7 * float(out["loss_att"]),
+        rtol=1e-6,
+    )
+
+
+def test_label_smoothing_matches_torch(rng):
+    b, l, v = 2, 6, 10
+    logits = rng.standard_normal((b, l, v)).astype(np.float32)
+    targets = rng.integers(0, v, (b, l)).astype(np.int32)
+    lengths = np.array([6, 4], np.int32)
+
+    got = float(label_smoothing_loss(jnp.asarray(logits), targets, lengths, 0.1))
+
+    # torch reference: KLDiv(log_softmax, smoothed one-hot), sum over valid,
+    # normalized by batch (wenet normalize_length=False)
+    lp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    conf, low = 0.9, 0.1 / (v - 1)
+    true = torch.full((b, l, v), low)
+    true.scatter_(2, torch.from_numpy(targets)[..., None].long(), conf)
+    kl = torch.nn.functional.kl_div(lp, true, reduction="none").sum(-1)
+    mask = torch.arange(l)[None, :] < torch.from_numpy(lengths)[:, None]
+    ref = float((kl * mask).sum() / b)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_rescoring_runs(aed, rng):
+    model, params, cfg = aed
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    enc, enc_lens = model.apply(params, feats, np.array([67, 50], np.int32),
+                                method="encode")
+    ctc_logits = model.apply(params, enc, method="ctc_logits")
+    lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
+    _, _, (nb_tok, nb_len, nb_score) = ctc_prefix_beam_search(
+        lp, enc_lens, cfg.blank_id, beam_size=4, max_tokens=16
+    )
+    tokens, lens, total = attention_rescoring(
+        model, params, enc, enc_lens, nb_tok, nb_len, nb_score, ctc_weight=0.5
+    )
+    assert tokens.shape == (2, 16)
+    best = np.argmax(np.asarray(total), axis=1)
+    for b in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(tokens[b]), np.asarray(nb_tok[b, best[b]])
+        )

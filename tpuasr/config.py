@@ -105,6 +105,10 @@ class CTCModelConfig:
 class ModelConfig:
     vocab_size: int = 412  # 406 pinyin syllables + 6 specials
     blank_id: int = 5  # <blk> (tokenizer/tokenizer.py:7, :59)
+    # computation dtype for matmuls/activations (params stay float32; losses
+    # and softmaxes accumulate in float32). bfloat16 doubles MXU throughput;
+    # production/bench configs set it, tests keep float32 for exactness.
+    compute_dtype: str = "float32"
     ignore_id: int = -1
     ctc_weight: float = 0.3
     transducer_weight: float = 0.7

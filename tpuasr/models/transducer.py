@@ -51,9 +51,10 @@ class Transducer(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.encoder = ConformerEncoder(c.encoder, name="encoder")
-        self.predictor = RNNPredictor(c.predictor, c.vocab_size, name="predictor")
-        self.joint = TransducerJoint(c.joint, c.vocab_size, name="joint")
+        dtype = jnp.dtype(c.compute_dtype)
+        self.encoder = ConformerEncoder(c.encoder, dtype, name="encoder")
+        self.predictor = RNNPredictor(c.predictor, c.vocab_size, dtype, name="predictor")
+        self.joint = TransducerJoint(c.joint, c.vocab_size, dtype, name="joint")
         if c.ctc_weight > 0:
             self.ctc = CTCHead(c.vocab_size, c.ctc_dropout_rate, name="ctc")
 
