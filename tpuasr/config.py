@@ -66,14 +66,21 @@ class EncoderConfig:
 
 @dataclass
 class PredictorConfig:
-    """LSTM predictor (reference: model/component/predictor.py:11-98)."""
+    """Label predictor (reference: model/component/predictor.py:11-98 for the
+    LSTM; wenet/transducer/predictor.py:213-499 for the stateless embedding
+    and causal-conv variants)."""
 
+    predictor_type: str = "rnn"  # rnn | embedding | conv
     embed_size: int = 256
     hidden_size: int = 256
     output_size: int = 256
     num_layers: int = 1
     embed_dropout: float = 0.0
     dropout: float = 0.1
+    # embedding/conv predictors
+    history_size: int = 2
+    n_head: int = 4  # embedding predictor attention heads
+    activation: str = "swish"  # embedding: swish; conv: relu (wenet defaults)
 
 
 @dataclass
@@ -85,6 +92,9 @@ class JointConfig:
     postjoin_linear: bool = False
     joint_mode: str = "add"
     activation: str = "tanh"
+    # HAT factorization (wenet/transducer/joint.py:51-106): separate
+    # LogSigmoid blank head; output is a normalized log-distribution.
+    hat_joint: bool = False
 
 
 @dataclass

@@ -49,8 +49,10 @@ jax.tree_util.register_dataclass(
 
 
 def init_beam_carry(model, params, batch: int, beam: int, max_tokens: int) -> BeamCarry:
+    from tpuasr.decode.state_utils import predictor_state_axis, split_beam_axis
+
     ps = model.apply(params, batch * beam, method="init_predictor_state")
-    ps = jax.tree.map(lambda x: x.reshape(x.shape[0], batch, beam, x.shape[-1]), ps)
+    ps = split_beam_axis(ps, batch, beam, predictor_state_axis(model))
     logp = jnp.full((batch, beam), _NEG).at[:, 0].set(0.0)
     return BeamCarry(
         tokens=jnp.zeros((batch, beam, max_tokens), jnp.int32),
@@ -91,10 +93,16 @@ def beam_frames(
     expand_k: int | None = None,
 ) -> BeamCarry:
     """Advance the beam over F encoder frames."""
+    from tpuasr.decode.state_utils import (
+        gather_beam, merge_beam_axis, predictor_state_axis, split_beam_axis,
+        where_beam,
+    )
+
     b, f, _ = enc_frames.shape
     n = carry.logp.shape[1]
     umax = carry.tokens.shape[2]
     k = expand_k if expand_k is not None else n
+    st_axis = predictor_state_axis(model)
 
     enc_proj = model.apply(params, enc_frames, method=lambda m, e: m.joint.project_enc(e))
 
@@ -116,14 +124,10 @@ def beam_frames(
         )[..., 0]
         last = jnp.where(carry.lens > 0, last, blank_id)  # [B, N]
 
-        flat_state = jax.tree.map(
-            lambda x: x.reshape(x.shape[0], b * n, x.shape[-1]), carry.pred_state
-        )
+        flat_state = merge_beam_axis(carry.pred_state, st_axis)
         pred_out, new_flat_state = pred_step(last.reshape(b * n), flat_state)
         pred_out = pred_out.reshape(b, n, -1)
-        adv_state = jax.tree.map(
-            lambda x: x.reshape(x.shape[0], b, n, x.shape[-1]), new_flat_state
-        )
+        adv_state = split_beam_axis(new_flat_state, b, n, st_axis)
 
         logits = joint_from_proj(
             jnp.repeat(enc_p_t[:, None, :], n, axis=1), pred_out
@@ -167,28 +171,23 @@ def beam_frames(
         sel_hyp = cand_from_hyp[sel]  # [B, N] source hyp index
         sel_blank = cand_is_blank[sel]  # [B, N]
 
-        def gather_state(adv, old):
-            # [L, B, N, H] gather over hyp dim, choose frozen vs advanced
-            a = jnp.take_along_axis(adv, sel_hyp[None, :, :, None], axis=2)
-            o = jnp.take_along_axis(old, sel_hyp[None, :, :, None], axis=2)
-            return jnp.where(sel_blank[None, :, :, None], o, a)
-
-        new_state = jax.tree.map(gather_state, adv_state, carry.pred_state)
+        # gather states of the source hypotheses; blank candidates keep the
+        # frozen (pre-step) state, extensions take the advanced state
+        adv_sel = gather_beam(adv_state, sel_hyp, st_axis)
+        old_sel = gather_beam(carry.pred_state, sel_hyp, st_axis)
+        new_state = where_beam(sel_blank, old_sel, adv_sel, st_axis)
 
         new_carry = BeamCarry(
             tokens=sel_tokens, lens=sel_lens, logp=new_logp, pred_state=new_state
         )
         # inactive frames: carry through untouched
         keep = active.reshape(b, 1)
+        keep_bn = jnp.broadcast_to(keep, (b, n))
         out = BeamCarry(
             tokens=jnp.where(keep[..., None], new_carry.tokens, carry.tokens),
             lens=jnp.where(keep, new_carry.lens, carry.lens),
             logp=jnp.where(keep, new_carry.logp, carry.logp),
-            pred_state=jax.tree.map(
-                lambda a, o: jnp.where(active.reshape(1, b, 1, 1), a, o),
-                new_carry.pred_state,
-                carry.pred_state,
-            ),
+            pred_state=where_beam(keep_bn, new_carry.pred_state, carry.pred_state, st_axis),
         )
         return out, None
 

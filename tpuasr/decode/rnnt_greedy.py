@@ -65,8 +65,11 @@ def greedy_frames(
     pad_id: int = 0,
 ) -> GreedyCarry:
     """Advance B streams over F encoder frames (the reusable decode core)."""
+    from tpuasr.decode.state_utils import predictor_state_axis, where_state
+
     b = enc_frames.shape[0]
     max_tokens = carry.hyp.shape[1] - 1
+    st_axis = predictor_state_axis(model)
 
     enc_proj = model.apply(params, enc_frames, method=lambda m, e: m.joint.project_enc(e))
 
@@ -95,13 +98,7 @@ def greedy_frames(
             hyp = carry.hyp.at[
                 jnp.arange(b), jnp.where(emit, carry.hyp_len, max_tokens)
             ].set(jnp.where(emit, tok, pad_id))
-            pred_state = jax.tree.map(
-                lambda new, old: jnp.where(
-                    emit.reshape((1, b) + (1,) * (new.ndim - 2)), new, old
-                ),
-                new_state,
-                carry.pred_state,
-            )
+            pred_state = where_state(emit, new_state, carry.pred_state, st_axis)
             carry = GreedyCarry(
                 pred_state=pred_state,
                 last_token=jnp.where(emit, tok, carry.last_token),

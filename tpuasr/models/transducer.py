@@ -23,7 +23,7 @@ from tpuasr.config import ModelConfig
 from tpuasr.losses import ctc_loss_from_logits, rnnt_loss_from_logits
 from tpuasr.nn.conformer import ConformerEncoder, EncoderStreamState
 from tpuasr.nn.joint import TransducerJoint
-from tpuasr.nn.predictor import RNNPredictor
+from tpuasr.nn.predictor import PREDICTOR_CLASSES
 from tpuasr.nn.subsampling import subsampled_len
 
 
@@ -53,8 +53,10 @@ class Transducer(nn.Module):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         self.encoder = ConformerEncoder(c.encoder, dtype, name="encoder")
-        self.predictor = RNNPredictor(c.predictor, c.vocab_size, dtype, name="predictor")
-        self.joint = TransducerJoint(c.joint, c.vocab_size, dtype, name="joint")
+        pred_cls = PREDICTOR_CLASSES[c.predictor.predictor_type]
+        self.predictor = pred_cls(c.predictor, c.vocab_size, dtype, name="predictor")
+        self.joint = TransducerJoint(c.joint, c.vocab_size, dtype,
+                                     blank_id=c.blank_id, name="joint")
         if c.ctc_weight > 0:
             self.ctc = CTCHead(c.vocab_size, c.ctc_dropout_rate, name="ctc")
 

@@ -22,9 +22,15 @@ ACT = {"tanh": jnp.tanh, "relu": nn.relu, "gelu": nn.gelu}
 
 
 class TransducerJoint(nn.Module):
+    """Additive joint; with ``cfg.hat_joint`` the output head becomes the HAT
+    factorization (wenet/transducer/joint.py:51-106): a LogSigmoid blank head
+    plus a token head scaled by log(1 - p_blank) — the output is then already
+    a normalized log-distribution (log_softmax is a no-op on it)."""
+
     cfg: JointConfig
     vocab_size: int
     dtype: jnp.dtype = jnp.float32
+    blank_id: int = 0
 
     def setup(self):
         c = self.cfg
@@ -33,7 +39,12 @@ class TransducerJoint(nn.Module):
             self.pred_ffn = nn.Dense(c.join_dim, dtype=self.dtype, name="pred_ffn")
         if c.postjoin_linear:
             self.post_ffn = nn.Dense(c.join_dim, dtype=self.dtype, name="post_ffn")
-        self.ffn_out = nn.Dense(self.vocab_size, dtype=self.dtype, name="ffn_out")
+        if getattr(c, "hat_joint", False):
+            self.blank_pred = nn.Dense(1, dtype=self.dtype, name="blank_pred")
+            self.token_pred = nn.Dense(self.vocab_size - 1, dtype=self.dtype,
+                                       name="token_pred")
+        else:
+            self.ffn_out = nn.Dense(self.vocab_size, dtype=self.dtype, name="ffn_out")
 
     def project(self, enc_out: jnp.ndarray, pred_out: jnp.ndarray):
         """Apply the pre-join linears: ([..., E], [..., P]) -> ([..., D], [..., D])."""
@@ -52,6 +63,22 @@ class TransducerJoint(nn.Module):
     def _head(self, joined: jnp.ndarray) -> jnp.ndarray:
         if self.cfg.postjoin_linear:
             joined = self.post_ffn(joined)
+        if getattr(self.cfg, "hat_joint", False):
+            import jax
+
+            blank_logp = nn.log_sigmoid(
+                self.blank_pred(jnp.tanh(joined)).astype(jnp.float32)
+            )  # [..., 1]
+            scale = jnp.log(jnp.clip(1.0 - jnp.exp(blank_logp), min=1e-6))
+            label_logp = jax.nn.log_softmax(
+                self.token_pred(ACT[self.cfg.activation](joined)).astype(jnp.float32),
+                axis=-1,
+            ) + scale  # [..., V-1]
+            # insert the blank column at blank_id
+            i = self.blank_id
+            return jnp.concatenate(
+                [label_logp[..., :i], blank_logp, label_logp[..., i:]], axis=-1
+            )
         return self.ffn_out(ACT[self.cfg.activation](joined))
 
     def __call__(self, enc_out: jnp.ndarray, pred_out: jnp.ndarray) -> jnp.ndarray:

@@ -39,6 +39,9 @@ class RNNPredictor(nn.Module):
     vocab_size: int
     dtype: jnp.dtype = jnp.float32
 
+    # decode-state convention: which axis of each state leaf is the batch axis
+    state_batch_axis = 1  # ([L, B, H], [L, B, H])
+
     def setup(self):
         c = self.cfg
         self.embed = nn.Embed(self.vocab_size, c.embed_size, dtype=self.dtype, name="embed")
@@ -118,3 +121,122 @@ class RNNPredictor(nn.Module):
             x = h
         out = self.projection(x)
         return out, (jnp.stack(new_h), jnp.stack(new_c))
+
+
+class EmbeddingPredictor(nn.Module):
+    """Stateless N-gram predictor: multi-head positional attention over the
+    last `history_size + 1` token embeddings (arXiv:2109.07513; wenet
+    predictor.py:213-380 parity). State = the trailing history embeddings
+    [B, history_size, E]."""
+
+    cfg: PredictorConfig
+    vocab_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    state_batch_axis = 0  # ([B, history, E],)
+
+    def setup(self):
+        c = self.cfg
+        assert c.output_size == c.embed_size, "embedding predictor: output==embed"
+        self.context_size = c.history_size + 1
+        self.embed = nn.Embed(self.vocab_size, c.embed_size, dtype=self.dtype, name="embed")
+        # wenet stores the positional attention as a Linear(embed*ctx, n_head)
+        # weight reshaped to [n_head, embed, ctx]; keep the raw param here.
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.lecun_normal(),
+            (c.n_head, c.embed_size, self.context_size),
+        )
+        self.ffn = nn.Dense(c.embed_size, dtype=self.dtype, name="ffn")
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        self.embed_dropout = nn.Dropout(c.embed_dropout)
+
+    def init_state(self, batch: int):
+        c = self.cfg
+        return (jnp.zeros((batch, c.history_size, c.embed_size), self.dtype),)
+
+    def _attend(self, windows: jnp.ndarray) -> jnp.ndarray:
+        """windows [..., ctx, E] -> [..., E] via the multi-head pos attention."""
+        c = self.cfg
+        pos = self.pos_embed.astype(windows.dtype)  # [H, E, ctx]
+        # weight[..., h, ctx] = sum_e windows[..., ctx, e] * pos[h, e, ctx]
+        weight = jnp.einsum("...ce,hec->...hc", windows, pos)
+        out = jnp.einsum("...hc,...ce->...he", weight, windows)
+        out = jnp.sum(out, axis=-2) / (c.n_head * self.context_size)
+        out = self.norm(self.ffn(out))
+        return out * nn.sigmoid(out) if c.activation == "swish" else nn.relu(out)
+
+    def __call__(self, tokens, state=None, deterministic: bool = True):
+        b, u = tokens.shape
+        x = self.embed_dropout(self.embed(tokens), deterministic=deterministic)
+        hist = state[0] if state is not None else self.init_state(b)[0]
+        x = jnp.concatenate([hist.astype(x.dtype), x], axis=1)  # [B, hist+U, E]
+        idx = jnp.arange(u)[:, None] + jnp.arange(self.context_size)[None, :]
+        windows = jnp.take(x, idx, axis=1)  # [B, U, ctx, E]
+        return self._attend(windows)
+
+    def forward_step(self, tokens, state, padding=None):
+        x = self.embed(tokens)[:, None, :]  # [B, 1, E]
+        ctx = jnp.concatenate([state[0].astype(x.dtype), x], axis=1)  # [B, ctx, E]
+        out = self._attend(ctx)  # [B, E]
+        new_hist = ctx[:, 1:, :]
+        if padding is not None:
+            keep = padding.astype(bool)[:, None, None]
+            new_hist = jnp.where(keep, state[0], new_hist)
+        return out, (new_hist,)
+
+
+class ConvPredictor(nn.Module):
+    """Causal depthwise-conv predictor over the token-embedding history
+    (wenet predictor.py:383-499 parity)."""
+
+    cfg: PredictorConfig
+    vocab_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    state_batch_axis = 0  # ([B, history, E],)
+
+    def setup(self):
+        c = self.cfg
+        assert c.output_size == c.embed_size
+        self.context_size = c.history_size + 1
+        self.embed = nn.Embed(self.vocab_size, c.embed_size, dtype=self.dtype, name="embed")
+        self.conv = nn.Conv(
+            features=c.embed_size, kernel_size=(self.context_size,),
+            feature_group_count=c.embed_size, padding="VALID", use_bias=False,
+            dtype=self.dtype, name="conv",
+        )
+        self.norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        self.embed_dropout = nn.Dropout(c.embed_dropout)
+
+    def init_state(self, batch: int):
+        c = self.cfg
+        return (jnp.zeros((batch, c.history_size, c.embed_size), self.dtype),)
+
+    def _act(self, y):
+        return y * nn.sigmoid(y) if self.cfg.activation == "swish" else nn.relu(y)
+
+    def __call__(self, tokens, state=None, deterministic: bool = True):
+        b, u = tokens.shape
+        x = self.embed_dropout(self.embed(tokens), deterministic=deterministic)
+        hist = state[0] if state is not None else self.init_state(b)[0]
+        x = jnp.concatenate([hist.astype(x.dtype), x], axis=1)
+        y = self.conv(x)  # [B, U, E] (VALID over hist+U)
+        return self._act(self.norm(y))
+
+    def forward_step(self, tokens, state, padding=None):
+        x = self.embed(tokens)[:, None, :]
+        ctx = jnp.concatenate([state[0].astype(x.dtype), x], axis=1)  # [B, ctx, E]
+        y = self.conv(ctx)[:, 0, :]  # [B, E]
+        out = self._act(self.norm(y))
+        new_hist = ctx[:, 1:, :]
+        if padding is not None:
+            keep = padding.astype(bool)[:, None, None]
+            new_hist = jnp.where(keep, state[0], new_hist)
+        return out, (new_hist,)
+
+
+PREDICTOR_CLASSES = {
+    "rnn": RNNPredictor,
+    "embedding": EmbeddingPredictor,
+    "conv": ConvPredictor,
+}
