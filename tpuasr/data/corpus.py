@@ -58,7 +58,12 @@ def scan_split(
 def _load(meta: UtteranceMeta) -> Utterance:
     if isinstance(meta, Utterance):
         return meta
-    wave, _ = read_wav(meta.path)
+    from tpuasr.utils import native
+
+    if native.is_available():
+        wave, _ = native.wav_read(meta.path, max_samples=meta.wave_len)
+    else:
+        wave, _ = read_wav(meta.path)
     return Utterance(meta.utt_id, wave, meta.tokens, len(wave))
 
 
