@@ -39,10 +39,14 @@ class PrefixBeam:
     lens: jnp.ndarray  # [B, N]
     pb: jnp.ndarray  # [B, N] log prob of prefix ending in blank
     pnb: jnp.ndarray  # [B, N] log prob of prefix ending in its last token
+    node: jnp.ndarray  # [B, N] context-graph state (0 when no graph)
+    bias: jnp.ndarray  # [B, N] accumulated hotword bias score
 
 
 jax.tree_util.register_dataclass(
-    PrefixBeam, data_fields=["tokens", "lens", "pb", "pnb"], meta_fields=[]
+    PrefixBeam,
+    data_fields=["tokens", "lens", "pb", "pnb", "node", "bias"],
+    meta_fields=[],
 )
 
 
@@ -74,18 +78,29 @@ def ctc_prefix_beam_search(
     blank_id: int,
     beam_size: int = 10,
     max_tokens: int = 200,
+    context_graph=None,  # tpuasr.decode.context_graph.ContextGraph
 ):
     """-> (best tokens [B, max_tokens], best lens [B],
-           nbest (tokens [B, N, max_tokens], lens [B, N], scores [B, N]))."""
+           nbest (tokens [B, N, max_tokens], lens [B, N], scores [B, N])).
+
+    With `context_graph`, extensions accrue hotword bias scores
+    (wenet/transformer/search.py:99-104 parity); the final ranking includes
+    the finalize correction removing dangling partial-match bonuses."""
     b, t, v = log_probs.shape
     n = beam_size
     umax = max_tokens
 
+    if context_graph is not None:
+        cg_next = jnp.asarray(context_graph.next_state)
+        cg_delta = jnp.asarray(context_graph.score_delta)
+        cg_final = jnp.asarray(context_graph.finalize_score)
     beam0 = PrefixBeam(
         tokens=jnp.zeros((b, n, umax), jnp.int32),
         lens=jnp.zeros((b, n), jnp.int32),
         pb=jnp.full((b, n), _NEG).at[:, 0].set(0.0),
         pnb=jnp.full((b, n), _NEG),
+        node=jnp.zeros((b, n), jnp.int32),
+        bias=jnp.zeros((b, n), jnp.float32),
     )
 
     def frame_step(beam: PrefixBeam, inputs):
@@ -127,15 +142,29 @@ def ctc_prefix_beam_search(
         cand_pnb = jnp.concatenate([stay_pnb[:, :, None], ext_pnb], axis=2).reshape(
             b, n * (1 + n)
         )
+        if context_graph is not None:
+            ext_node = cg_next[beam.node[..., None], top_tok[:, None, :]]  # [B,N,k]
+            ext_bias = beam.bias[..., None] + cg_delta[beam.node[..., None], top_tok[:, None, :]]
+            cand_node = jnp.concatenate(
+                [beam.node[:, :, None], ext_node], axis=2
+            ).reshape(b, n * (1 + n))
+            cand_bias = jnp.concatenate(
+                [beam.bias[:, :, None], ext_bias], axis=2
+            ).reshape(b, n * (1 + n))
+        else:
+            cand_node = jnp.zeros((b, n * (1 + n)), jnp.int32)
+            cand_bias = jnp.zeros((b, n * (1 + n)), jnp.float32)
 
         m_pb, m_pnb = _first_occurrence_merge(cand_tokens, cand_lens, cand_pb, cand_pnb)
-        score = _logaddexp(m_pb, m_pnb)
+        score = _logaddexp(m_pb, m_pnb) + cand_bias
         _, sel = jax.lax.top_k(score, n)
         new = PrefixBeam(
             tokens=jnp.take_along_axis(cand_tokens, sel[..., None], axis=1),
             lens=jnp.take_along_axis(cand_lens, sel, axis=1),
             pb=jnp.take_along_axis(m_pb, sel, axis=1),
             pnb=jnp.take_along_axis(m_pnb, sel, axis=1),
+            node=jnp.take_along_axis(cand_node, sel, axis=1),
+            bias=jnp.take_along_axis(cand_bias, sel, axis=1),
         )
         keep = active[:, None]
         beam = PrefixBeam(
@@ -143,6 +172,8 @@ def ctc_prefix_beam_search(
             lens=jnp.where(keep, new.lens, beam.lens),
             pb=jnp.where(keep, new.pb, beam.pb),
             pnb=jnp.where(keep, new.pnb, beam.pnb),
+            node=jnp.where(keep, new.node, beam.node),
+            bias=jnp.where(keep, new.bias, beam.bias),
         )
         return beam, None
 
@@ -150,7 +181,9 @@ def ctc_prefix_beam_search(
     xs = (jnp.swapaxes(log_probs, 0, 1), jnp.swapaxes(valid, 0, 1))
     beam, _ = jax.lax.scan(frame_step, beam0, xs)
 
-    score = _logaddexp(beam.pb, beam.pnb)
+    score = _logaddexp(beam.pb, beam.pnb) + beam.bias
+    if context_graph is not None:
+        score = score + cg_final[beam.node]
     best = jnp.argmax(score, axis=1)
     best_tokens = jnp.take_along_axis(beam.tokens, best[:, None, None], axis=1)[:, 0]
     best_lens = jnp.take_along_axis(beam.lens, best[:, None], axis=1)[:, 0]

@@ -1,0 +1,204 @@
+"""Extended tokenizer zoo (wenet/text parity, SURVEY §2.5).
+
+- `BaseTokenizer` ABC — wenet/text/base_tokenizer.py:7-41 contract
+  (tokenize/detokenize/text2tokens/tokens2ids/vocab_size/symbol_table);
+- `WhisperTokenizer` — tiktoken-backed (wenet/text/whisper_tokenizer.py),
+  lazily constructed so it stays pickle-safe for worker processes;
+- `HuggingFaceTokenizer` — transformers AutoTokenizer wrapper
+  (wenet/text/hugging_face_tokenizer.py);
+- `BpeTokenizer` — sentencepiece-backed (wenet/text/bpe_tokenizer.py); gated:
+  raises a clear error if sentencepiece is not installed (absent from this
+  image);
+- `ParaformerTokenizer` — seg-dict lookup tokenizer
+  (wenet/text/paraformer_tokenizer.py): longest-match segmentation against a
+  word->subunits dictionary.
+
+The framework's own pinyin/char tokenizers live in tpuasr.text.tokenizer.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Sequence
+
+
+class BaseTokenizer(abc.ABC):
+    def tokenize(self, line: str) -> tuple[list[str], list[int]]:
+        tokens = self.text2tokens(line)
+        return tokens, self.tokens2ids(tokens)
+
+    def detokenize(self, ids: Sequence[int]) -> tuple[str, list[str]]:
+        tokens = self.ids2tokens(ids)
+        return self.tokens2text(tokens), tokens
+
+    @abc.abstractmethod
+    def text2tokens(self, line: str) -> list[str]: ...
+
+    @abc.abstractmethod
+    def tokens2text(self, tokens: Sequence[str]) -> str: ...
+
+    @abc.abstractmethod
+    def tokens2ids(self, tokens: Sequence[str]) -> list[int]: ...
+
+    @abc.abstractmethod
+    def ids2tokens(self, ids: Sequence[int]) -> list[str]: ...
+
+    @abc.abstractmethod
+    def vocab_size(self) -> int: ...
+
+    @property
+    @abc.abstractmethod
+    def symbol_table(self) -> dict[str, int]: ...
+
+
+class HuggingFaceTokenizer(BaseTokenizer):
+    def __init__(self, model: str, *args, **kwargs):
+        self.model = model
+        self.args = args
+        self.kwargs = kwargs
+        self.tokenizer = None
+
+    def _build(self):
+        if self.tokenizer is None:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                self.model, *self.args, **self.kwargs
+            )
+        return self.tokenizer
+
+    def text2tokens(self, line):
+        return self._build().tokenize(line)
+
+    def tokens2text(self, tokens):
+        t = self._build()
+        return t.decode(t.convert_tokens_to_ids(tokens))
+
+    def tokens2ids(self, tokens):
+        return self._build().convert_tokens_to_ids(tokens)
+
+    def ids2tokens(self, ids):
+        return self._build().convert_ids_to_tokens(ids)
+
+    def vocab_size(self):
+        return len(self._build())
+
+    @property
+    def symbol_table(self):
+        return self._build().get_vocab()
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["tokenizer"] = None  # lazily rebuilt in workers
+        return d
+
+
+class WhisperTokenizer(BaseTokenizer):
+    def __init__(self, multilingual: bool = True, num_languages: int = 100):
+        self.multilingual = multilingual
+        self.num_languages = num_languages
+        self.tokenizer = None
+
+    def _build(self):
+        if self.tokenizer is None:
+            import tiktoken
+
+            # whisper's multilingual bpe ranks ship with tiktoken's registry
+            self.tokenizer = tiktoken.get_encoding("gpt2")
+        return self.tokenizer
+
+    def text2tokens(self, line):
+        enc = self._build()
+        return [str(t) for t in enc.encode(line)]
+
+    def tokens2text(self, tokens):
+        return self._build().decode([int(t) for t in tokens])
+
+    def tokens2ids(self, tokens):
+        return [int(t) for t in tokens]
+
+    def ids2tokens(self, ids):
+        return [str(i) for i in ids]
+
+    def vocab_size(self):
+        return self._build().n_vocab
+
+    @property
+    def symbol_table(self):
+        return {str(i): i for i in range(self.vocab_size())}
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["tokenizer"] = None
+        return d
+
+
+class BpeTokenizer(BaseTokenizer):
+    def __init__(self, bpe_model: str):
+        try:
+            import sentencepiece  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "BpeTokenizer requires sentencepiece, which is not installed "
+                "in this environment; use the char/pinyin tokenizer instead"
+            ) from e
+        import sentencepiece as spm
+
+        self.sp = spm.SentencePieceProcessor()
+        self.sp.load(bpe_model)
+
+    def text2tokens(self, line):
+        return self.sp.encode_as_pieces(line)
+
+    def tokens2text(self, tokens):
+        return self.sp.decode_pieces(list(tokens))
+
+    def tokens2ids(self, tokens):
+        return [self.sp.piece_to_id(t) for t in tokens]
+
+    def ids2tokens(self, ids):
+        return [self.sp.id_to_piece(int(i)) for i in ids]
+
+    def vocab_size(self):
+        return self.sp.get_piece_size()
+
+    @property
+    def symbol_table(self):
+        return {self.sp.id_to_piece(i): i for i in range(self.vocab_size())}
+
+
+class ParaformerTokenizer(BaseTokenizer):
+    """Seg-dict tokenizer: words map to space-separated subunit sequences;
+    unseen CJK text falls back to per-character units."""
+
+    def __init__(self, symbol_table: dict[str, int], seg_dict: dict[str, str] | None = None):
+        self._symbols = dict(symbol_table)
+        self._ids = {v: k for k, v in self._symbols.items()}
+        self.seg_dict = seg_dict or {}
+        self.unk = "<unk>"
+
+    def text2tokens(self, line):
+        out = []
+        for word in line.strip().split():
+            if word in self.seg_dict:
+                out.extend(self.seg_dict[word].split())
+            else:
+                out.extend(list(word))
+        return out
+
+    def tokens2text(self, tokens):
+        return "".join(tokens)
+
+    def tokens2ids(self, tokens):
+        unk_id = self._symbols.get(self.unk, 0)
+        return [self._symbols.get(t, unk_id) for t in tokens]
+
+    def ids2tokens(self, ids):
+        return [self._ids.get(int(i), self.unk) for i in ids]
+
+    def vocab_size(self):
+        return len(self._symbols)
+
+    @property
+    def symbol_table(self):
+        return self._symbols
