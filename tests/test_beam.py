@@ -74,3 +74,25 @@ def test_merge_duplicates():
     assert merged[0, 1] < -1e29
     np.testing.assert_allclose(merged[0, 2], np.log(0.1), rtol=1e-5)
     np.testing.assert_allclose(merged[0, 3], np.log(0.4), rtol=1e-5)
+
+
+def test_beam_multi_emission(model_and_params, rng):
+    """n_steps > 1 (multiple emissions per frame) produces valid, finite,
+    deduplicated hypotheses. (Top scores are not strictly comparable to
+    n_steps=1 because beam pruning interacts with the larger expansion set.)"""
+    model, params = model_and_params
+    enc = rng.standard_normal((2, 7, 32)).astype(np.float32)
+    enc_lens = np.array([7, 7], np.int32)
+    tok, ln, nb_tok, nb_len, lp3 = rnnt_beam_decode(
+        model, params, jnp.asarray(enc), enc_lens,
+        BLANK, beam_size=4, max_tokens=16, n_steps=3)
+    lp3 = np.asarray(lp3)
+    assert np.all(np.isfinite(lp3.max(1)))
+    for b in range(2):
+        assert BLANK not in np.asarray(tok[b, : int(ln[b])])
+        seen = set()
+        for i in range(4):
+            if lp3[b, i] > -1e29:
+                key = tuple(np.asarray(nb_tok[b, i, : int(nb_len[b, i])]))
+                assert key not in seen
+                seen.add(key)

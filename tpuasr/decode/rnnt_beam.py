@@ -91,8 +91,14 @@ def beam_frames(
     carry: BeamCarry,
     blank_id: int,
     expand_k: int | None = None,
+    n_steps: int = 1,
 ) -> BeamCarry:
-    """Advance the beam over F encoder frames."""
+    """Advance the beam over F encoder frames.
+
+    `n_steps` > 1 allows multiple non-blank emissions per frame (the
+    reference online beam's inner expansion, online_rnnt_model.py:433-499):
+    each sub-step expands hypotheses that have not yet taken this frame's
+    blank, with a done-flag in the dedup key so frame phases never merge."""
     from tpuasr.decode.state_utils import (
         gather_beam, merge_beam_axis, predictor_state_axis, split_beam_axis,
         where_beam,
@@ -115,10 +121,10 @@ def beam_frames(
 
         return model.apply(params, enc_p, pred_out, method=run)
 
-    def frame_step(carry: BeamCarry, inputs):
-        enc_p_t, active = inputs  # [B, Dj], [B]
-
-        # last token per hyp (blank if empty)
+    def expand_once(carry: BeamCarry, done, enc_p_t):
+        """One expansion sub-step. `done` hyps (already took blank this frame)
+        pass through unchanged; others propose blank (-> done) and top-k
+        non-blank extensions (-> still expandable)."""
         last = jnp.take_along_axis(
             carry.tokens, jnp.maximum(carry.lens - 1, 0)[..., None], axis=2
         )[..., 0]
@@ -134,17 +140,16 @@ def beam_frames(
         )  # [B, N, V]
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-        # candidate 0 per hyp: blank (keep tokens & state)
-        blank_logp = carry.logp + lp[..., blank_id]
-        # top-k non-blank extensions per hyp
+        # candidate 0: blank for expandable hyps / free pass-through for done
+        blank_logp = carry.logp + jnp.where(done, 0.0, lp[..., blank_id])
+        # top-k non-blank extensions (masked out for done hyps)
         lp_nb = lp.at[..., blank_id].set(_NEG)
         top_lp, top_tok = jax.lax.top_k(lp_nb, k)  # [B, N, k]
-        can_extend = carry.lens < umax
+        can_extend = (carry.lens < umax) & ~done
         ext_logp = jnp.where(
             can_extend[..., None], carry.logp[..., None] + top_lp, _NEG
         )
 
-        # assemble C = N * (1 + k) candidates
         extended = jax.vmap(_extend, in_axes=(0, 0, 0, None))(
             carry.tokens, carry.lens, top_tok, umax
         )  # [B, N, k, U]
@@ -157,29 +162,55 @@ def beam_frames(
         cand_logp = jnp.concatenate(
             [blank_logp[:, :, None], ext_logp], axis=2
         ).reshape(b, n * (1 + k))
-        # candidate i uses frozen state if blank else advanced state of its hyp
         cand_from_hyp = jnp.arange(n)[:, None].repeat(1 + k, 1).reshape(-1)  # [C]
         cand_is_blank = (
             jnp.arange(1 + k)[None, :].repeat(n, 0).reshape(-1) == 0
         )  # [C]
+        # resulting done flag: blank/pass-through slots are done
+        cand_done = jnp.broadcast_to(cand_is_blank[None, :], (b, n * (1 + k)))
 
-        merged = _merge_duplicates(cand_tokens, cand_lens, cand_logp)
+        # dedup key includes the done flag (same prefix, different frame phase
+        # must not merge)
+        merged = _merge_duplicates(
+            cand_tokens, cand_lens * 2 + cand_done.astype(cand_lens.dtype), cand_logp
+        )
         new_logp, sel = jax.lax.top_k(merged, n)  # [B, N]
 
         sel_tokens = jnp.take_along_axis(cand_tokens, sel[..., None], axis=1)
         sel_lens = jnp.take_along_axis(cand_lens, sel, axis=1)
         sel_hyp = cand_from_hyp[sel]  # [B, N] source hyp index
         sel_blank = cand_is_blank[sel]  # [B, N]
+        sel_done = jnp.take_along_axis(cand_done, sel, axis=1)
 
-        # gather states of the source hypotheses; blank candidates keep the
-        # frozen (pre-step) state, extensions take the advanced state
         adv_sel = gather_beam(adv_state, sel_hyp, st_axis)
         old_sel = gather_beam(carry.pred_state, sel_hyp, st_axis)
         new_state = where_beam(sel_blank, old_sel, adv_sel, st_axis)
 
-        new_carry = BeamCarry(
-            tokens=sel_tokens, lens=sel_lens, logp=new_logp, pred_state=new_state
+        return (
+            BeamCarry(tokens=sel_tokens, lens=sel_lens, logp=new_logp,
+                      pred_state=new_state),
+            sel_done,
         )
+
+    def frame_step(carry: BeamCarry, inputs):
+        enc_p_t, active = inputs  # [B, Dj], [B]
+
+        if n_steps <= 1:
+            new_carry, _ = expand_once(carry, jnp.zeros((b, n), bool), enc_p_t)
+        else:
+            def cond(s):
+                _, done, i = s
+                return (i < n_steps) & jnp.any(~done)
+
+            def body(s):
+                c, done, i = s
+                c, done = expand_once(c, done, enc_p_t)
+                return (c, done, i + 1)
+
+            new_carry, _, _ = jax.lax.while_loop(
+                cond, body, (carry, jnp.zeros((b, n), bool), jnp.int32(0))
+            )
+
         # inactive frames: carry through untouched
         keep = active.reshape(b, 1)
         keep_bn = jnp.broadcast_to(keep, (b, n))
@@ -214,13 +245,15 @@ def rnnt_beam_decode(
     blank_id: int,
     beam_size: int = 4,
     max_tokens: int = 200,
+    n_steps: int = 1,
 ):
     """Offline beam search -> (best tokens [B, max_tokens], lens [B],
     nbest tokens [B, N, max_tokens], nbest lens, nbest logp)."""
     b, t, _ = enc_out.shape
     carry = init_beam_carry(model, params, b, beam_size, max_tokens)
     valid = jnp.arange(t)[None, :] < enc_lens[:, None]
-    carry = beam_frames(model, params, enc_out, valid, carry, blank_id)
+    carry = beam_frames(model, params, enc_out, valid, carry, blank_id,
+                        n_steps=n_steps)
     best = jnp.argmax(carry.logp, axis=1)
     best_tokens = jnp.take_along_axis(carry.tokens, best[:, None, None], axis=1)[:, 0]
     best_lens = jnp.take_along_axis(carry.lens, best[:, None], axis=1)[:, 0]
