@@ -119,6 +119,10 @@ class ModelConfig:
     # and softmaxes accumulate in float32). bfloat16 doubles MXU throughput;
     # production/bench configs set it, tests keep float32 for exactness.
     compute_dtype: str = "float32"
+    # shard the [B, T, U, V] joint logits' vocab dim over the `model` mesh
+    # axis (BASELINE.json north star: when T*U*V exceeds HBM). Requires an
+    # active mesh with a `model` axis.
+    shard_joint: bool = False
     ignore_id: int = -1
     ctc_weight: float = 0.3
     transducer_weight: float = 0.7

@@ -134,6 +134,12 @@ class Transducer(nn.Module):
         ys_in = add_blank(texts, c.blank_id)  # [B, U+1]
         pred_out = self.predictor(ys_in, deterministic=deterministic)  # [B, U+1, P]
         logits = self.joint(enc_out, pred_out)  # [B, T', U+1, V]
+        if c.shard_joint:
+            from jax.sharding import PartitionSpec as P
+
+            logits = jax.lax.with_sharding_constraint(
+                logits, P("data", None, None, "model")
+            )
 
         loss_rnnt = rnnt_loss_from_logits(
             logits, texts, enc_lens, text_lens, c.blank_id, "mean"
