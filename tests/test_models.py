@@ -146,3 +146,36 @@ def test_ctc_model_forward(rng):
     assert np.isfinite(float(loss))
     # conv2d8: ((T-1)//2 -1)//2 -1)//2
     assert int(out_lens[0]) == ((((130 - 1) // 2) - 1) // 2 - 1) // 2
+
+
+def test_mlp_variants(rng):
+    import jax.numpy as jnp
+
+    from tpuasr.nn.conformer import GatedVariantsMLP, MoEFFNLayer
+
+    x = jnp.asarray(rng.standard_normal((2, 7, 16)).astype(np.float32))
+    gated = GatedVariantsMLP(32, 16, 0.0)
+    p = gated.init(jax.random.PRNGKey(0), x)
+    assert gated.apply(p, x).shape == (2, 7, 16)
+
+    moe = MoEFFNLayer(32, 16, 0.0, n_expert=4, n_expert_activated=2)
+    p = moe.init(jax.random.PRNGKey(0), x)
+    y = moe.apply(p, x)
+    assert y.shape == (2, 7, 16)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_moe_encoder_trains(rng):
+    cfg = small_model_cfg()
+    cfg.encoder.mlp_type = "moe"
+    cfg.encoder.n_expert = 4
+    model = Transducer(cfg)
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    texts = rng.integers(6, VOCAB, size=(2, 5)).astype(np.int32)
+    text_lens = np.array([5, 3], np.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens, texts, text_lens)
+    out = model.apply(params, feats, feat_lens, texts, text_lens)
+    assert np.isfinite(float(out["loss"]))
+    g = jax.grad(lambda p: model.apply(p, feats, feat_lens, texts, text_lens)["loss"])(params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))

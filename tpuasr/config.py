@@ -62,6 +62,10 @@ class EncoderConfig:
     max_chunk_size: int = 25  # dynamic-chunk cap: 100 frames / subsampling 4
     max_len: int = 5000  # positional-encoding table length
     gradient_checkpointing: bool = False
+    # FFN variant: position_wise_feed_forward | gated (SwiGLU) | moe
+    mlp_type: str = "position_wise_feed_forward"
+    n_expert: int = 8
+    n_expert_activated: int = 2
 
 
 @dataclass

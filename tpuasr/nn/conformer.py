@@ -58,6 +58,76 @@ class PositionwiseFeedForward(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype, name="w_2")(y)
 
 
+class GatedVariantsMLP(nn.Module):
+    """SwiGLU-style gated MLP (wenet positionwise_feed_forward.py:124-159)."""
+
+    hidden: int
+    out: int
+    dropout_rate: float
+    activation: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        gate = ACTIVATIONS[self.activation](
+            nn.Dense(self.hidden, use_bias=False, dtype=self.dtype, name="gate")(x)
+        )
+        up = nn.Dense(self.hidden, dtype=self.dtype, name="w_1")(x)
+        fuse = nn.Dropout(self.dropout_rate)(gate * up, deterministic=deterministic)
+        return nn.Dense(self.out, dtype=self.dtype, name="w_2")(fuse)
+
+
+class MoEFFNLayer(nn.Module):
+    """Top-k routed mixture-of-experts FFN (wenet
+    positionwise_feed_forward.py:61-121 parity).
+
+    TPU-native dispatch: expert weights are stacked [E, D, H] and every token
+    runs through every expert as one batched einsum, combined by the router's
+    top-k softmax weights — no scatter/gather, fully MXU-shaped. (The
+    reference loops over experts with boolean indexing on GPU.) Expert
+    parallelism (experts sharded over the `model` axis + all-to-all) is the
+    natural extension when n_expert grows.
+    """
+
+    hidden: int
+    out: int
+    dropout_rate: float
+    n_expert: int = 8
+    n_expert_activated: int = 2
+    activation: str = "swish"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        d = x.shape[-1]
+        router = nn.Dense(self.n_expert, use_bias=False, dtype=self.dtype, name="gate")(x)
+        top_logits, top_idx = jax.lax.top_k(router, self.n_expert_activated)
+        weights = jax.nn.softmax(top_logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        # dense per-expert weight: combine[.., e] = sum_k weights_k * (top_idx_k == e)
+        combine = jnp.sum(
+            weights[..., None] * jax.nn.one_hot(top_idx, self.n_expert, dtype=x.dtype),
+            axis=-2,
+        )  # [..., E]
+
+        w1 = self.param("w1", nn.initializers.lecun_normal(),
+                        (self.n_expert, d, self.hidden))
+        w2 = self.param("w2", nn.initializers.lecun_normal(),
+                        (self.n_expert, self.hidden, self.out))
+        h = ACTIVATIONS[self.activation](
+            jnp.einsum("...d,edh->...eh", x, w1.astype(x.dtype))
+        )
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        y = jnp.einsum("...eh,eho->...eo", h, w2.astype(x.dtype))
+        return jnp.sum(combine[..., None] * y, axis=-2)
+
+
+MLP_CLASSES = {
+    "position_wise_feed_forward": PositionwiseFeedForward,
+    "gated": GatedVariantsMLP,
+    "moe": MoEFFNLayer,
+}
+
+
 class ConformerBlock(nn.Module):
     cfg: EncoderConfig
     dtype: jnp.dtype = jnp.float32
@@ -65,9 +135,22 @@ class ConformerBlock(nn.Module):
     def setup(self):
         c = self.cfg
         d = c.output_size
-        ffn = lambda name: PositionwiseFeedForward(
-            c.linear_units, d, c.dropout_rate, c.activation_type, self.dtype, name=name
-        )
+        mlp_type = getattr(c, "mlp_type", "position_wise_feed_forward")
+        if mlp_type == "moe":
+            ffn = lambda name: MoEFFNLayer(
+                c.linear_units, d, c.dropout_rate,
+                n_expert=getattr(c, "n_expert", 8),
+                n_expert_activated=getattr(c, "n_expert_activated", 2),
+                activation=c.activation_type, dtype=self.dtype, name=name,
+            )
+        elif mlp_type == "gated":
+            ffn = lambda name: GatedVariantsMLP(
+                c.linear_units, d, c.dropout_rate, "gelu", self.dtype, name=name
+            )
+        else:
+            ffn = lambda name: PositionwiseFeedForward(
+                c.linear_units, d, c.dropout_rate, c.activation_type, self.dtype, name=name
+            )
         if c.macaron_style:
             self.feed_forward_macaron = ffn("feed_forward_macaron")
             self.norm_ff_macaron = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")
