@@ -179,3 +179,49 @@ def test_moe_encoder_trains(rng):
     assert np.isfinite(float(out["loss"]))
     g = jax.grad(lambda p: model.apply(p, feats, feat_lens, texts, text_lens)["loss"])(params)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_squeezeformer_encoder(rng):
+    from tpuasr.nn.squeezeformer import SqueezeformerConfig, SqueezeformerEncoder
+
+    cfg = SqueezeformerConfig(
+        encoder_dim=32, output_size=32, attention_heads=2, num_blocks=4,
+        reduce_idx=(1,), recover_idx=(3,), feed_forward_expansion_factor=2,
+        cnn_module_kernel=7, dropout_rate=0.0,
+    )
+    model = SqueezeformerEncoder(cfg)
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens)
+    ys, masks = model.apply(params, feats, feat_lens)
+    t_out = (((67 - 1) // 2) - 1) // 2
+    assert ys.shape == (2, t_out, 32)
+    assert np.all(np.isfinite(np.asarray(ys)))
+    # reduced-then-recovered output length matches the subsampled input
+    assert masks.shape == (2, 1, t_out)
+    # gradient flows through reduction/recovery
+    g = jax.grad(lambda p: model.apply(p, feats, feat_lens)[0].sum())(params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_efficient_conformer_encoder(rng):
+    from tpuasr.nn.efficient_conformer import (
+        EfficientConformerConfig, EfficientConformerEncoder,
+    )
+
+    cfg = EfficientConformerConfig(
+        output_size=32, attention_heads=2, linear_units=64, num_blocks=4,
+        stride_layer_idx=(1,), group_size=2, cnn_module_kernel=7, dropout_rate=0.0,
+    )
+    model = EfficientConformerEncoder(cfg)
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens)
+    ys, masks = model.apply(params, feats, feat_lens)
+    t_sub = (((67 - 1) // 2) - 1) // 2
+    t_out = (t_sub + 1) // 2  # one stride-2 layer
+    assert ys.shape == (2, t_out, 32)
+    assert masks.shape[-1] == t_out
+    assert np.all(np.isfinite(np.asarray(ys)))
+    g = jax.grad(lambda p: model.apply(p, feats, feat_lens)[0].sum())(params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
