@@ -92,3 +92,45 @@ def test_attention_rescoring_runs(aed, rng):
         np.testing.assert_array_equal(
             np.asarray(tokens[b]), np.asarray(nb_tok[b, best[b]])
         )
+
+
+def test_one_step_matches_teacher_forced(aed, rng):
+    """Chained forward_one_step must reproduce the teacher-forced logits."""
+    model, params, cfg = aed
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    enc, enc_lens = model.apply(params, feats, np.array([67, 50], np.int32),
+                                method="encode")
+    ys_in = rng.integers(2, VOCAB, (2, 5)).astype(np.int32)
+    ys_lens = np.array([5, 5], np.int32)
+    full = model.apply(params, enc, enc_lens, ys_in, ys_lens,
+                       method="decoder_scores")
+    full_lp = np.asarray(jax.nn.log_softmax(np.asarray(full, np.float32), -1))
+
+    mem_k, mem_v = model.apply(params, enc, method="decoder_project_memory")
+    kc, vc = model.apply(params, 2, 8, method="decoder_init_cache")
+    t = enc.shape[1]
+    mem_mask = (np.arange(t)[None, :] < np.asarray(enc_lens)[:, None])[:, None, :]
+    for pos in range(5):
+        lp, kc, vc = model.apply(params, ys_in[:, pos], jnp.int32(pos), kc, vc,
+                                 mem_k, mem_v, mem_mask, method="decoder_one_step")
+        np.testing.assert_allclose(np.asarray(lp), full_lp[:, pos], rtol=1e-4,
+                                   atol=1e-4)
+
+
+def test_attention_beam_search_runs(aed, rng):
+    from tpuasr.decode.attention_beam import attention_beam_search
+
+    model, params, cfg = aed
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    enc, enc_lens = model.apply(params, feats, np.array([67, 50], np.int32),
+                                method="encode")
+    toks, lens, scores = attention_beam_search(
+        model, params, enc, enc_lens, cfg.sos_id, cfg.eos_id,
+        beam_size=3, max_len=10,
+    )
+    assert toks.shape == (2, 10)
+    assert np.all(np.asarray(lens) <= 10)
+    assert np.all(np.isfinite(np.asarray(scores)[:, 0]))
+    for b in range(2):
+        hyp = np.asarray(toks[b, : int(lens[b])])
+        assert cfg.eos_id not in hyp and cfg.sos_id not in hyp

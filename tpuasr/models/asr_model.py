@@ -69,6 +69,18 @@ class ASRModel(nn.Module):
         """Teacher-forced decoder logits [B, L, V]."""
         return self.decoder(enc_out, enc_lens, ys_in, ys_lens, deterministic)
 
+    # AR beam-search surface (decode/attention_beam.py)
+    def decoder_project_memory(self, memory):
+        return self.decoder.project_memory(memory)
+
+    def decoder_init_cache(self, batch, lmax):
+        return self.decoder.init_ar_cache(batch, lmax)
+
+    def decoder_one_step(self, tokens, pos, kcache, vcache, mem_k, mem_v, mem_mask):
+        return self.decoder.forward_one_step(
+            tokens, pos, kcache, vcache, mem_k, mem_v, mem_mask
+        )
+
     def __call__(
         self,
         feats: jnp.ndarray,
