@@ -134,3 +134,22 @@ def test_attention_beam_search_runs(aed, rng):
     for b in range(2):
         hyp = np.asarray(toks[b, : int(lens[b])])
         assert cfg.eos_id not in hyp and cfg.sos_id not in hyp
+
+
+def test_decode_dispatch_all_methods(aed, rng):
+    from tpuasr.decode.dispatch import decode_aed
+
+    model, params, cfg = aed
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    res = decode_aed(
+        model, params, feats, feat_lens,
+        methods=["ctc_greedy_search", "ctc_prefix_beam_search", "attention",
+                 "attention_rescoring"],
+        beam_size=3, max_tokens=12,
+    )
+    assert set(res) == {"ctc_greedy_search", "ctc_prefix_beam_search",
+                        "attention", "attention_rescoring"}
+    for method, (tok, lens) in res.items():
+        assert tok.shape[0] == 2, method
+        assert np.all(np.asarray(lens) >= 0), method

@@ -1,0 +1,66 @@
+"""Multi-method decode dispatch.
+
+Parity: wenet ASRModel.decode(methods=[...]) (asr_model.py:262-338) — run any
+subset of decoders over one encoder pass and return results per method. All
+methods are the framework's batched jit implementations.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpuasr.decode.attention_beam import attention_beam_search
+from tpuasr.decode.ctc_greedy import ctc_greedy_decode
+from tpuasr.decode.ctc_prefix_beam import ctc_prefix_beam_search
+from tpuasr.models.asr_model import attention_rescoring
+
+
+def decode_aed(
+    model,  # ASRModel
+    params,
+    feats: jnp.ndarray,
+    feat_lens: jnp.ndarray,
+    methods: Sequence[str] = ("ctc_greedy_search",),
+    beam_size: int = 10,
+    max_tokens: int = 64,
+    ctc_weight: float = 0.5,
+    context_graph=None,
+) -> dict:
+    """-> {method: (tokens [B, U], lens [B])} for any of
+    {ctc_greedy_search, ctc_prefix_beam_search, attention, attention_rescoring}."""
+    cfg = model.cfg
+    enc, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+    results: dict = {}
+
+    need_ctc = {"ctc_greedy_search", "ctc_prefix_beam_search", "attention_rescoring"}
+    lp = None
+    if need_ctc & set(methods):
+        logits = model.apply(params, enc, method="ctc_logits")
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    nbest = None
+    if "ctc_greedy_search" in methods:
+        results["ctc_greedy_search"] = ctc_greedy_decode(lp, enc_lens, cfg.blank_id)
+    if {"ctc_prefix_beam_search", "attention_rescoring"} & set(methods):
+        best_tok, best_len, nbest = ctc_prefix_beam_search(
+            lp, enc_lens, cfg.blank_id, beam_size, max_tokens,
+            context_graph=context_graph,
+        )
+        if "ctc_prefix_beam_search" in methods:
+            results["ctc_prefix_beam_search"] = (best_tok, best_len)
+    if "attention" in methods:
+        tok, lens, _ = attention_beam_search(
+            model, params, enc, enc_lens, cfg.sos_id, cfg.eos_id, beam_size,
+            max_tokens,
+        )
+        results["attention"] = (tok, lens)
+    if "attention_rescoring" in methods:
+        nb_tok, nb_len, nb_score = nbest
+        tok, lens, _ = attention_rescoring(
+            model, params, enc, enc_lens, nb_tok, nb_len, nb_score, ctc_weight
+        )
+        results["attention_rescoring"] = (tok, lens)
+    return results
