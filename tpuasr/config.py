@@ -127,6 +127,10 @@ class ModelConfig:
     # axis (BASELINE.json north star: when T*U*V exceeds HBM). Requires an
     # active mesh with a `model` axis.
     shard_joint: bool = False
+    # fuse joint head + log-softmax + RNN-T lattice inputs into one Pallas
+    # kernel so [B, T, U, V] never materializes in HBM
+    # (tpuasr.ops.rnnt_fused_pallas). Standard tanh additive joint only.
+    fused_joint_loss: bool = False
     ignore_id: int = -1
     ctc_weight: float = 0.3
     transducer_weight: float = 0.7

@@ -133,6 +133,29 @@ class Transducer(nn.Module):
 
         ys_in = add_blank(texts, c.blank_id)  # [B, U+1]
         pred_out = self.predictor(ys_in, deterministic=deterministic)  # [B, U+1, P]
+
+        if c.fused_joint_loss and not c.joint.hat_joint and not c.joint.postjoin_linear:
+            from tpuasr.ops.rnnt_fused_pallas import rnnt_loss_fused_mean
+
+            enc_p = self.joint.project_enc(enc_out)
+            pred_p = self.joint.project_pred(pred_out)
+            w, bias = self.joint.head_params()
+            loss_rnnt = rnnt_loss_fused_mean(
+                enc_p, pred_p, w, bias, texts, enc_lens, text_lens, c.blank_id
+            )
+            loss = c.transducer_weight * loss_rnnt
+            out = {"loss_rnnt": loss_rnnt}
+            if c.ctc_weight > 0:
+                ctc_logits = self.ctc(enc_out, deterministic=deterministic)
+                loss_ctc = ctc_loss_from_logits(
+                    ctc_logits, enc_lens, texts, text_lens, c.blank_id,
+                    "sum_over_batch",
+                )
+                loss = loss + c.ctc_weight * loss_ctc
+                out["loss_ctc"] = loss_ctc
+            out["loss"] = loss
+            return out
+
         logits = self.joint(enc_out, pred_out)  # [B, T', U+1, V]
         if c.shard_joint:
             from jax.sharding import PartitionSpec as P

@@ -44,7 +44,19 @@ class TransducerJoint(nn.Module):
             self.token_pred = nn.Dense(self.vocab_size - 1, dtype=self.dtype,
                                        name="token_pred")
         else:
-            self.ffn_out = nn.Dense(self.vocab_size, dtype=self.dtype, name="ffn_out")
+            # raw params (not a Dense) so the fused joint+loss kernel
+            # (tpuasr.ops.rnnt_fused_pallas) can consume them directly
+            self.w_out = self.param(
+                "ffn_out_kernel", nn.initializers.lecun_normal(),
+                (c.join_dim, self.vocab_size),
+            )
+            self.b_out = self.param(
+                "ffn_out_bias", nn.initializers.zeros, (self.vocab_size,)
+            )
+
+    def head_params(self):
+        """(kernel [D, V], bias [V]) of the output projection."""
+        return self.w_out, self.b_out
 
     def project(self, enc_out: jnp.ndarray, pred_out: jnp.ndarray):
         """Apply the pre-join linears: ([..., E], [..., P]) -> ([..., D], [..., D])."""
@@ -79,7 +91,10 @@ class TransducerJoint(nn.Module):
             return jnp.concatenate(
                 [label_logp[..., :i], blank_logp, label_logp[..., i:]], axis=-1
             )
-        return self.ffn_out(ACT[self.cfg.activation](joined))
+        act = ACT[self.cfg.activation](joined)
+        return (
+            jnp.dot(act, self.w_out.astype(act.dtype)) + self.b_out.astype(act.dtype)
+        )
 
     def __call__(self, enc_out: jnp.ndarray, pred_out: jnp.ndarray) -> jnp.ndarray:
         """([B,T,E], [B,U,P]) -> [B,T,U,V] logits."""
