@@ -45,3 +45,24 @@ a = np.asarray(fbank(wave, FeatureConfig(sample_rate=48000, use_pallas=False)))
 bq = np.asarray(fbank(wave, FeatureConfig(sample_rate=48000, use_pallas=True)))
 print("fbank maxdiff", np.abs(a-bq).max(), flush=True)
 print("ALL TPU KERNEL CHECKS DONE", flush=True)
+
+# fused joint+loss kernel on real TPU
+from tpuasr.ops.rnnt_fused_pallas import rnnt_loss_fused_mean
+from tpuasr.losses import rnnt_loss_from_logits as _rl
+b,t,u,d,v,blank = 12, 64, 30, 256, 412, 5
+enc_p = rng.standard_normal((b,t,d)).astype(np.float32)
+pred_p = rng.standard_normal((b,u+1,d)).astype(np.float32)
+w = (rng.standard_normal((d,v))/16).astype(np.float32)
+bias = rng.standard_normal(v).astype(np.float32)*0.1
+labels = rng.integers(6, v, size=(b,u)).astype(np.int32)
+tl = np.full(b, t, np.int32); tl[1] = t-9
+ul = np.full(b, u, np.int32); ul[1] = u-7
+joined = jnp.tanh(jnp.asarray(enc_p)[:,:,None,:] + jnp.asarray(pred_p)[:,None,:,:])
+logits = jnp.einsum("btud,dv->btuv", joined, w) + bias
+ref = float(_rl(logits, labels, tl, ul, blank, "mean", use_pallas=False))
+got = float(rnnt_loss_fused_mean(enc_p, pred_p, w, bias, labels, tl, ul, blank, interpret=False))
+print("fused loss diff", abs(ref-got), flush=True)
+g_ref = jax.grad(lambda e: float(0)*0 + _rl(jnp.einsum("btud,dv->btuv", jnp.tanh(e[:,:,None,:] + jnp.asarray(pred_p)[:,None,:,:]), w) + bias, labels, tl, ul, blank, "mean", use_pallas=False))(jnp.asarray(enc_p))
+g_got = jax.grad(lambda e: rnnt_loss_fused_mean(e, pred_p, w, bias, labels, tl, ul, blank, interpret=False))(jnp.asarray(enc_p))
+print("fused d_enc maxdiff", float(jnp.abs(g_ref-g_got).max()), flush=True)
+print("FUSED TPU CHECK DONE", flush=True)
