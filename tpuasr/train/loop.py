@@ -95,6 +95,13 @@ def train_loop(
         eval_fn = make_eval_step(model, cfg)
 
     writer = MetricsWriter(cfg.train.log_dir, os.path.join(cfg.train.save_dir, "log.txt"))
+    if jax.process_index() == 0 and cfg.train.save_dir:
+        # reproducible-inference config snapshot (wenet train.yaml parity,
+        # train_utils.py:352-357)
+        os.makedirs(cfg.train.save_dir, exist_ok=True)
+        from tpuasr.config import save_yaml
+
+        save_yaml(cfg, os.path.join(cfg.train.save_dir, "train.yaml"))
     plateau = PlateauTracker(cfg.optim.plateau_factor, cfg.optim.plateau_patience)
     rng = jax.random.PRNGKey(cfg.train.seed)
     timer = StepTimer()
