@@ -62,7 +62,14 @@ logits = jnp.einsum("btud,dv->btuv", joined, w) + bias
 ref = float(_rl(logits, labels, tl, ul, blank, "mean", use_pallas=False))
 got = float(rnnt_loss_fused_mean(enc_p, pred_p, w, bias, labels, tl, ul, blank, interpret=False))
 print("fused loss diff", abs(ref-got), flush=True)
-g_ref = jax.grad(lambda e: float(0)*0 + _rl(jnp.einsum("btud,dv->btuv", jnp.tanh(e[:,:,None,:] + jnp.asarray(pred_p)[:,None,:,:]), w) + bias, labels, tl, ul, blank, "mean", use_pallas=False))(jnp.asarray(enc_p))
+g_ref = jax.grad(lambda e: _rl(jnp.einsum("btud,dv->btuv", jnp.tanh(e[:,:,None,:] + jnp.asarray(pred_p)[:,None,:,:]), w) + bias, labels, tl, ul, blank, "mean", use_pallas=False))(jnp.asarray(enc_p))
 g_got = jax.grad(lambda e: rnnt_loss_fused_mean(e, pred_p, w, bias, labels, tl, ul, blank, interpret=False))(jnp.asarray(enc_p))
 print("fused d_enc maxdiff", float(jnp.abs(g_ref-g_got).max()), flush=True)
+import time
+f = jax.jit(lambda e,p: rnnt_loss_fused_mean(e, p, w, bias, labels, tl, ul, blank, interpret=False))
+fu = jax.jit(lambda lg: _rl(lg, labels, tl, ul, blank, "mean", use_pallas=True))
+_ = f(enc_p, pred_p); jax.block_until_ready(_)
+t0=time.perf_counter()
+for _i in range(20): out=f(enc_p, pred_p)
+jax.block_until_ready(out); print("fused fwd avg ms", (time.perf_counter()-t0)/20*1e3, flush=True)
 print("FUSED TPU CHECK DONE", flush=True)

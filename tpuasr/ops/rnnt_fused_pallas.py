@@ -58,10 +58,8 @@ def _fused_fwd_kernel(enc_ref, pred_ref, w_ref, b_ref, lab_ref,
 
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (tt * u1p, vp), 1)
     blank_x = jnp.sum(jnp.where(v_iota == blank_id, x, 0.0), axis=-1, keepdims=True)
-    lab_col = jnp.tile(lab_ref[0], (tt, 1)).reshape(tt * u1p, 1)  # [N, 1]
-    label_x = jnp.sum(
-        jnp.where(v_iota == lab_col, x, 0.0), axis=-1, keepdims=True
-    )
+    oh = jnp.tile(lab_ref[0], (tt, 1))  # [N, Vp] label one-hot
+    label_x = jnp.sum(jnp.where(oh > 0, x, 0.0), axis=-1, keepdims=True)
 
     blank_lp = (blank_x - lse).reshape(tt, u1p)
     label_lp = (label_x - lse).reshape(tt, u1p)
@@ -108,12 +106,12 @@ def _fused_bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, lab_ref,
     gb = gb_ref[0][:, :u1p].reshape(tt * u1p, 1)
     gl = gl_ref[0][:, :u1p].reshape(tt * u1p, 1)
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (tt * u1p, vp), 1)
-    lab_col = jnp.tile(lab_ref[0], (tt, 1)).reshape(tt * u1p, 1)
+    oh = jnp.tile(lab_ref[0], (tt, 1))  # [N, Vp]
     # d blank_lp/d x_v = 1[v=blank] - sm_v (log-softmax vjp), likewise label:
     # dX = gb * 1[v=blank] + gl * 1[v=label_u] - sm * (gb + gl)
     dx = -sm * (gb + gl)
     dx = dx + jnp.where(v_iota == blank_id, gb, 0.0)
-    dx = dx + jnp.where(v_iota == lab_col, gl, 0.0)
+    dx = dx + jnp.where(oh > 0, gl, 0.0)
 
     da = jnp.dot(dx, w_ref[:].astype(jnp.float32).T, preferred_element_type=jnp.float32)
     djoined = (da * (1.0 - a * a)).reshape(tt, u1p, d)
@@ -139,10 +137,12 @@ def _pad_operands(enc_p, pred_p, w, b, labels, blank_id):
     wp = jnp.pad(w.astype(jnp.float32), ((0, 0), (0, vp - v)), constant_values=0.0)
     # padded vocab columns get -inf bias so they never affect the logsumexp
     bp = jnp.pad(b.astype(jnp.float32), (0, vp - v), constant_values=_NEG)[None, :]
-    # label of column u is labels[u] (u < U); pad columns point at the blank
-    # (their lattice entries are masked outside anyway)
-    lab = jnp.pad(labels.astype(jnp.int32), ((0, 0), (0, u1p - labels.shape[1])),
-                  constant_values=blank_id)[:, None, :]  # [B, 1, U1p] (TPU block rule)
+    # label of column u is labels[u] (u < U), as a one-hot over the padded
+    # vocab (gathers become masked reductions — Mosaic-friendly); pad columns
+    # point at the blank (their lattice entries are masked outside anyway)
+    lab_ids = jnp.pad(labels.astype(jnp.int32), ((0, 0), (0, u1p - labels.shape[1])),
+                      constant_values=blank_id)
+    lab = jax.nn.one_hot(lab_ids, vp, dtype=jnp.float32)  # [B, U1p, Vp]
     return enc, pred, wp, bp, lab, (bsz, t, d, u1, v, tt, t_pad, u1p, u1o, vp)
 
 
@@ -162,7 +162,7 @@ def _fused_lp(enc_p, pred_p, w, b, labels, blank_id, interpret):
             pl.BlockSpec((1, u1p, d), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, vp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, u1p), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u1p, vp), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, tt, u1o), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
@@ -193,7 +193,7 @@ def _fused_grads(enc_p, pred_p, w, b, labels, gb, gl, blank_id, interpret):
             pl.BlockSpec((1, u1p, d), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, vp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, u1p), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u1p, vp), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tt, u1o), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tt, u1o), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
         ],
