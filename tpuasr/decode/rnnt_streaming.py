@@ -135,7 +135,8 @@ def init_streaming_beam_state(
 
 
 def process_chunk_beam(
-    model, params, chunk_feats, state: StreamingBeamState, blank_id: int
+    model, params, chunk_feats, state: StreamingBeamState, blank_id: int,
+    n_steps: int = 1,
 ) -> StreamingBeamState:
     """Encode one chunk and advance the beam over its frames
     (process_single_chunk_beam_search parity, batched)."""
@@ -143,7 +144,8 @@ def process_chunk_beam(
     chunk = ys.shape[1]
     frame_idx = state.enc.offset + jnp.arange(chunk)[None, :]
     valid = frame_idx < state.enc_lens[:, None]
-    beam = beam_frames(model, params, ys, valid, state.beam, blank_id)
+    beam = beam_frames(model, params, ys, valid, state.beam, blank_id,
+                       n_steps=n_steps)
     return StreamingBeamState(enc=enc_state, beam=beam, enc_lens=state.enc_lens)
 
 
@@ -157,6 +159,7 @@ def streaming_beam_decode(
     blank_id: int,
     beam_size: int = 4,
     max_tokens: int = 200,
+    n_steps: int = 1,
 ):
     """Whole-utterance simulated streaming beam search ->
     (best tokens, best lens, final state)."""
@@ -174,7 +177,7 @@ def streaming_beam_decode(
     )
 
     def step(state, xs):
-        return process_chunk_beam(model, params, xs, state, blank_id), None
+        return process_chunk_beam(model, params, xs, state, blank_id, n_steps), None
 
     state, _ = jax.lax.scan(step, state, windows)
     best = jnp.argmax(state.beam.logp, axis=1)

@@ -101,17 +101,18 @@ def _fused_bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, lab_ref,
     )
     m = jnp.max(x, axis=-1, keepdims=True)
     ex = jnp.exp(x - m)
-    sm = ex / jnp.sum(ex, axis=-1, keepdims=True)  # softmax [Tt*U1p, Vp]
+    sm = (ex / jnp.sum(ex, axis=-1, keepdims=True)).reshape(tt, u1p, vp)
 
-    gb = gb_ref[0][:, :u1p].reshape(tt * u1p, 1)
-    gl = gl_ref[0][:, :u1p].reshape(tt * u1p, 1)
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (tt * u1p, vp), 1)
-    oh = jnp.tile(lab_ref[0], (tt, 1))  # [N, Vp]
+    gb = gb_ref[0][:, :u1p]  # [Tt, U1p]
+    gl = gl_ref[0][:, :u1p]
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (tt, u1p, vp), 2)
+    oh = jnp.broadcast_to(lab_ref[0][None, :, :], (tt, u1p, vp))
     # d blank_lp/d x_v = 1[v=blank] - sm_v (log-softmax vjp), likewise label:
     # dX = gb * 1[v=blank] + gl * 1[v=label_u] - sm * (gb + gl)
-    dx = -sm * (gb + gl)
-    dx = dx + jnp.where(v_iota == blank_id, gb, 0.0)
-    dx = dx + jnp.where(oh > 0, gl, 0.0)
+    dx3 = -sm * (gb + gl)[..., None]
+    dx3 = dx3 + jnp.where(v_iota == blank_id, gb[..., None], 0.0)
+    dx3 = dx3 + jnp.where(oh > 0, gl[..., None], 0.0)
+    dx = dx3.reshape(tt * u1p, vp)
 
     da = jnp.dot(dx, w_ref[:].astype(jnp.float32).T, preferred_element_type=jnp.float32)
     djoined = (da * (1.0 - a * a)).reshape(tt, u1p, d)
@@ -126,9 +127,12 @@ def _pad_operands(enc_p, pred_p, w, b, labels, blank_id):
     bsz, t, d = enc_p.shape
     u1 = pred_p.shape[1]
     v = w.shape[1]
-    tt = 8
+    u1p_est = _round_up(u1, 8)
+    # tile size: keep the per-step [tt*U1p, Vp] logits block ~2MB so the MXU
+    # sees large matmuls with few grid steps
+    tt = max(8, min(64, 1024 // u1p_est * 8))
     t_pad = _round_up(t, tt)
-    u1p = _round_up(u1, 8)
+    u1p = u1p_est
     u1o = _round_up(u1p, 128)
     vp = _round_up(v, 128)
 
