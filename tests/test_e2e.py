@@ -108,3 +108,44 @@ def test_streaming_eval_and_rtf(trained):
     assert stats.n_chunks >= 3
     assert stats.rtf_mean > 0
     assert stats.rtf_p95 >= stats.rtf_p50
+
+
+def test_transducer_rescoring(trained, rng):
+    from tpuasr.decode.ctc_prefix_beam import ctc_prefix_beam_search
+    from tpuasr.decode.rnnt_rescoring import transducer_rescoring
+    from tpuasr.audio import fbank_batch
+    from tpuasr.data.pipeline import device_view
+
+    cfg, model, params, batch = trained
+    db = device_view(batch)
+    feats, feat_lens = fbank_batch(db["waves"], db["wave_lens"], cfg.feature)
+    enc, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+    import jax.numpy as jnp
+    import jax as _jax
+
+    ctc_logits = model.apply(params, enc, method="ctc_logits")
+    lp = _jax.nn.log_softmax(ctc_logits.astype(jnp.float32), -1)
+    _, _, (nb_tok, nb_len, nb_score) = ctc_prefix_beam_search(
+        lp, enc_lens, BLANK, beam_size=4, max_tokens=12
+    )
+    tok, lens, total = transducer_rescoring(
+        model, params, enc, enc_lens, nb_tok, nb_len, nb_score, BLANK
+    )
+    assert tok.shape[0] == 8
+    best = np.argmax(np.asarray(total), axis=1)
+    for b in range(8):
+        np.testing.assert_array_equal(np.asarray(tok[b]), np.asarray(nb_tok[b, best[b]]))
+
+
+def test_first_token_delay(trained):
+    from tpuasr.audio import fbank_batch
+    from tpuasr.data.pipeline import device_view
+    from tpuasr.eval.rtf import measure_first_token_delay
+
+    cfg, model, params, batch = trained
+    db = device_view(batch)
+    feats, feat_lens = fbank_batch(db["waves"][:2], db["wave_lens"][:2], cfg.feature)
+    stats = measure_first_token_delay(model, params, feats, feat_lens, cfg, n_steps=3)
+    assert 0.0 <= stats["emitted_fraction"] <= 1.0
+    if stats["emitted_fraction"] > 0:
+        assert stats["p50_first_token_delay_s"] > 0

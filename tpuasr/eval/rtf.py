@@ -100,3 +100,63 @@ def measure_rtf(
         jax.block_until_ready(state)
         times.append(time.perf_counter() - t0)
     return RtfStats.from_times(times, chunk_audio_seconds)
+
+
+def measure_first_token_delay(
+    model,
+    params,
+    feats: jnp.ndarray,  # [B, T, F]
+    feat_lens: jnp.ndarray,
+    cfg: Config,
+    n_steps: int = 10,
+) -> dict:
+    """First-token delay: audio seconds consumed before each stream's first
+    non-blank emission, plus processing time up to that chunk (BASELINE.md
+    primary metric "p50 first-token delay"; reference proxy:
+    online_rnnt_delay.py chunk budget)."""
+    c = cfg.model
+    chunk = cfg.streaming.chunk_size
+    left = cfg.streaming.num_left_chunks
+    sub = SUBSAMPLE_CLASSES[c.encoder.input_layer]
+    b, t, _ = feats.shape
+    n = num_chunks(t, chunk, sub.subsampling_rate, sub.right_context)
+    windows = chunk_windows(feats, chunk, sub.subsampling_rate, sub.right_context, n)
+    chunk_audio = (
+        chunk * sub.subsampling_rate * cfg.feature.hop_length / cfg.feature.sample_rate
+    )
+
+    from tpuasr.nn.subsampling import subsampled_len
+
+    enc_lens = subsampled_len(c.encoder.input_layer, feat_lens)
+    state = init_streaming_state(model, params, b, chunk, left, c.blank_id,
+                                 enc_lens=enc_lens)
+    step = jax.jit(
+        lambda xs, st: process_chunk(model, params, xs, st, c.blank_id, n_steps)
+    )
+    # warmup/compile outside the timed region
+    jax.block_until_ready(step(windows[0], state))
+
+    first_chunk = np.full(b, -1, np.int64)
+    proc_time = np.zeros(b, np.float64)
+    elapsed = 0.0
+    for i in range(n):
+        t0 = time.perf_counter()
+        state = step(windows[i], state)
+        jax.block_until_ready(state)
+        elapsed += time.perf_counter() - t0
+        lens = np.asarray(state.dec.hyp_len)
+        newly = (lens > 0) & (first_chunk < 0)
+        first_chunk[newly] = i
+        proc_time[newly] = elapsed
+        if np.all(first_chunk >= 0):
+            break
+    emitted = first_chunk >= 0
+    audio_delay = (first_chunk + 1) * chunk_audio
+    total_delay = audio_delay + proc_time
+    valid = total_delay[emitted]
+    return {
+        "emitted_fraction": float(emitted.mean()),
+        "p50_first_token_delay_s": float(np.percentile(valid, 50)) if valid.size else float("nan"),
+        "p90_first_token_delay_s": float(np.percentile(valid, 90)) if valid.size else float("nan"),
+        "chunk_audio_seconds": chunk_audio,
+    }
