@@ -153,3 +153,37 @@ def test_decode_dispatch_all_methods(aed, rng):
     for method, (tok, lens) in res.items():
         assert tok.shape[0] == 2, method
         assert np.all(np.asarray(lens) >= 0), method
+
+
+def test_bidirectional_decoder_and_rescoring(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), r_decoder_blocks=2, reverse_weight=0.3)
+    model = ASRModel(cfg)
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    texts = rng.integers(6, VOCAB, (2, 5)).astype(np.int32)
+    text_lens = np.array([5, 3], np.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens, texts, text_lens)
+    out = model.apply(params, feats, feat_lens, texts, text_lens)
+    assert np.isfinite(float(out["loss"]))
+
+    enc, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+    lp = jax.nn.log_softmax(model.apply(params, enc, method="ctc_logits").astype(np.float32), -1)
+    _, _, (nb_tok, nb_len, nb_score) = ctc_prefix_beam_search(lp, enc_lens, cfg.blank_id, 3, 12)
+    tok, lens, total = attention_rescoring(
+        model, params, enc, enc_lens, nb_tok, nb_len, nb_score,
+        ctc_weight=0.5, reverse_weight=0.3,
+    )
+    assert tok.shape == (2, 12)
+    assert np.all(np.isfinite(np.asarray(total)[:, 0]))
+
+
+def test_reverse_padded():
+    from tpuasr.models.asr_model import _reverse_padded
+
+    t = np.array([[1, 2, 3, 0, 0], [7, 8, 9, 9, 0]], np.int32)
+    lens = np.array([3, 4], np.int32)
+    out = np.asarray(_reverse_padded(jnp.asarray(t), jnp.asarray(lens)))
+    assert out[0].tolist() == [3, 2, 1, 0, 0]
+    assert out[1].tolist() == [9, 9, 8, 7, 0]

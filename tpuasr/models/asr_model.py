@@ -36,8 +36,23 @@ class AEDConfig:
     decoder_blocks: int = 6
     decoder_heads: int = 4
     decoder_ffn: int = 1024
+    # right-to-left decoder (wenet BiTransformerDecoder, decoder.py:313):
+    # r_decoder_blocks > 0 trains a second decoder on reversed targets with
+    # loss (1 - reverse_weight) * l2r + reverse_weight * r2l; rescoring fuses
+    # both directions' scores.
+    r_decoder_blocks: int = 0
+    reverse_weight: float = 0.3
     compute_dtype: str = "float32"
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
+
+
+def _reverse_padded(tokens: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row's valid prefix, keeping padding in place
+    (wenet reverse_pad_list parity)."""
+    b, u = tokens.shape
+    idx = jnp.arange(u)[None, :]
+    src = jnp.where(idx < lens[:, None], lens[:, None] - 1 - idx, idx)
+    return jnp.take_along_axis(tokens, src, axis=1)
 
 
 class ASRModel(nn.Module):
@@ -52,6 +67,12 @@ class ASRModel(nn.Module):
             c.decoder_blocks, c.encoder.dropout_rate, c.encoder.max_len, dtype,
             name="decoder",
         )
+        if c.r_decoder_blocks > 0:
+            self.r_decoder = TransformerDecoder(
+                c.vocab_size, c.encoder.output_size, c.decoder_heads, c.decoder_ffn,
+                c.r_decoder_blocks, c.encoder.dropout_rate, c.encoder.max_len, dtype,
+                name="r_decoder",
+            )
         self.ctc_lo = nn.Dense(c.vocab_size, name="ctc_lo")
 
     def encode(self, feats, feat_lens, deterministic: bool = True, chunk_rng=None,
@@ -68,6 +89,10 @@ class ASRModel(nn.Module):
     def decoder_scores(self, enc_out, enc_lens, ys_in, ys_lens, deterministic=True):
         """Teacher-forced decoder logits [B, L, V]."""
         return self.decoder(enc_out, enc_lens, ys_in, ys_lens, deterministic)
+
+    def r_decoder_scores(self, enc_out, enc_lens, ys_in, ys_lens, deterministic=True):
+        """Teacher-forced right-to-left decoder logits [B, L, V]."""
+        return self.r_decoder(enc_out, enc_lens, ys_in, ys_lens, deterministic)
 
     # AR beam-search surface (decode/attention_beam.py)
     def decoder_project_memory(self, memory):
@@ -103,6 +128,15 @@ class ASRModel(nn.Module):
         ys_out = jnp.where(eos_slot, c.eos_id, ys_out)
         dec_logits = self.decoder(enc_out, enc_lens, ys_in, text_lens + 1, deterministic)
         loss_att = label_smoothing_loss(dec_logits, ys_out, text_lens + 1, c.lsm_weight)
+        if c.r_decoder_blocks > 0 and c.reverse_weight > 0:
+            r_texts = _reverse_padded(texts, text_lens)
+            r_ys_in = jnp.concatenate([sos, r_texts], axis=1)
+            r_ys_out = jnp.concatenate([r_texts, jnp.zeros((b, 1), texts.dtype)], axis=1)
+            r_ys_out = jnp.where(eos_slot, c.eos_id, r_ys_out)
+            r_logits = self.r_decoder(enc_out, enc_lens, r_ys_in, text_lens + 1,
+                                      deterministic)
+            loss_r = label_smoothing_loss(r_logits, r_ys_out, text_lens + 1, c.lsm_weight)
+            loss_att = (1.0 - c.reverse_weight) * loss_att + c.reverse_weight * loss_r
 
         loss_ctc = ctc_loss_from_logits(
             self.ctc_lo(enc_out), enc_lens, texts, text_lens, c.blank_id,
@@ -121,31 +155,37 @@ def attention_rescoring(
     nbest_lens: jnp.ndarray,  # [B, N]
     nbest_ctc_scores: jnp.ndarray,  # [B, N]
     ctc_weight: float = 0.5,
+    reverse_weight: float = 0.0,
 ):
     """Pick the best CTC n-best hypothesis by decoder + ctc score fusion.
 
-    score = att_logp(hyp) + ctc_weight * ctc_score (search.py:443-447).
-    -> (tokens [B, U], lens [B])."""
+    score = att_logp(hyp) + ctc_weight * ctc_score (search.py:443-447); with
+    `reverse_weight` > 0 and an R2L decoder, att_logp fuses both directions
+    (search.py:418-441)."""
     c = model.cfg
     b, n, u = nbest_tokens.shape
     flat_tok = nbest_tokens.reshape(b * n, u)
     flat_len = nbest_lens.reshape(b * n)
     enc_rep = jnp.repeat(enc_out, n, axis=0)
     lens_rep = jnp.repeat(enc_lens, n, axis=0)
-
-    sos = jnp.full((b * n, 1), c.sos_id, flat_tok.dtype)
-    ys_in = jnp.concatenate([sos, flat_tok], axis=1)
-    dec_logits = model.apply(
-        params, enc_rep, lens_rep, ys_in, flat_len + 1, method="decoder_scores"
-    )
-    lp = jax.nn.log_softmax(dec_logits.astype(jnp.float32), axis=-1)
-    # target at step j is token j (then eos at step len)
+    sos = jnp.full((b * n, 1), flat_tok.dtype.type(c.sos_id))
     u_idx = jnp.arange(u + 1)[None, :]
-    tgt = jnp.concatenate([flat_tok, jnp.zeros((b * n, 1), flat_tok.dtype)], axis=1)
-    tgt = jnp.where(u_idx == flat_len[:, None], c.eos_id, tgt)
-    tok_lp = jnp.take_along_axis(lp, tgt[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    valid = u_idx <= flat_len[:, None]  # include the eos step
-    att_score = jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1).reshape(b, n)
+
+    def score_dir(tokens, method):
+        ys_in = jnp.concatenate([sos, tokens], axis=1)
+        logits = model.apply(params, enc_rep, lens_rep, ys_in, flat_len + 1,
+                             method=method)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = jnp.concatenate([tokens, jnp.zeros((b * n, 1), tokens.dtype)], axis=1)
+        tgt = jnp.where(u_idx == flat_len[:, None], c.eos_id, tgt)
+        tok_lp = jnp.take_along_axis(lp, tgt[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        valid = u_idx <= flat_len[:, None]  # include the eos step
+        return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1).reshape(b, n)
+
+    att_score = score_dir(flat_tok, "decoder_scores")
+    if reverse_weight > 0 and c.r_decoder_blocks > 0:
+        r_score = score_dir(_reverse_padded(flat_tok, flat_len), "r_decoder_scores")
+        att_score = (1.0 - reverse_weight) * att_score + reverse_weight * r_score
 
     total = att_score + ctc_weight * nbest_ctc_scores
     total = jnp.where(nbest_ctc_scores > -1.0e29, total, -1.0e30)
