@@ -110,3 +110,38 @@ def test_plateau_tracker():
     assert p.update(9.4) == 1.0  # bad 2
     assert p.update(9.3) == 0.5  # bad 3 > patience -> decay
     assert p.update(1.0) == 0.5  # improvement resets counter, scale persists
+
+
+def test_gradient_accumulation(setup):
+    """accum_steps=2: params update only every 2nd step, matching the
+    reference accumulation semantics."""
+    import dataclasses
+
+    cfg, model, tx, state, batch = setup
+    cfg2 = dataclasses.replace(cfg, optim=dataclasses.replace(cfg.optim, accum_steps=2))
+    from tpuasr.train import TrainState as TS, make_optimizer as mo, make_train_step as mts
+
+    tx2 = mo(cfg2.optim)
+    st = TS.create(state.params, tx2)
+    step = mts(model, tx2, cfg2, donate=False)
+    p0 = [np.asarray(x).copy() for x in jax.tree.leaves(st.params)]
+    st, m1 = step(st, batch, jax.random.PRNGKey(0))
+    p1 = [np.asarray(x) for x in jax.tree.leaves(st.params)]
+    for a, b in zip(p0, p1):  # first micro-step: no update anywhere
+        np.testing.assert_array_equal(a, b)
+    st, m2 = step(st, batch, jax.random.PRNGKey(0))
+    p2 = [np.asarray(x) for x in jax.tree.leaves(st.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(p0, p2))  # update applied
+
+
+def test_remat_matches_no_remat(setup):
+    cfg, model, tx, state, batch = setup
+    from tpuasr.train import make_train_step as mts
+
+    s1, m1 = mts(model, tx, cfg, donate=False)(state, batch, jax.random.PRNGKey(3))
+    s2, m2 = mts(model, tx, cfg, donate=False, remat=True)(state, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s1.params)[0]),
+        np.asarray(jax.tree.leaves(s2.params)[0]), rtol=1e-4, atol=1e-6,
+    )

@@ -90,7 +90,10 @@ def train_loop(
 
     if step_fn is None:
         tx = make_optimizer(cfg.optim)
-        step_fn = make_train_step(model, tx, cfg, donate=cfg.train.donate)
+        step_fn = make_train_step(
+            model, tx, cfg, donate=cfg.train.donate,
+            remat=getattr(cfg.model.encoder, 'gradient_checkpointing', False),
+        )
     if eval_fn is None:
         eval_fn = make_eval_step(model, cfg)
 

@@ -27,7 +27,7 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     def warmup_lr(step):
         return cfg.lr * jnp.minimum(1.0, (step + 1) / max(cfg.warmup_steps, 1))
 
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_amsgrad(b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps)
@@ -35,6 +35,12 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         else optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps),
         optax.scale_by_schedule(lambda s: -warmup_lr(s)),
     )
+    if cfg.accum_steps > 1:
+        # gradient accumulation (reference accum_steps, rnnt_common.py:11 +
+        # the no_sync fencing of executor.py:71-81 — under SPMD the psum
+        # simply happens once per optimizer update)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
 
 
 @dataclass

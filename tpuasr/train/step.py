@@ -75,10 +75,15 @@ def make_train_step(
 
     def loss_fn(params, variables_rest, batch, rng):
         variables = {"params": params, **variables_rest}
-        fwd = _batch_forward
+
+        def fwd(variables, batch, rng):
+            return _batch_forward(model, cfg, variables, batch, rng, False)
+
         if remat:
-            fwd = jax.checkpoint(_batch_forward, static_argnums=(0, 5))
-        out = fwd(model, cfg, variables, batch, rng, False)
+            # rematerialization (reference gradient_checkpointing,
+            # encoder.py:181-201): recompute the forward during backward
+            fwd = jax.checkpoint(fwd)
+        out = fwd(variables, batch, rng)
         return out["loss"], out
 
     def train_step(state: TrainState, batch, rng):
