@@ -145,3 +145,23 @@ def test_remat_matches_no_remat(setup):
         np.asarray(jax.tree.leaves(s1.params)[0]),
         np.asarray(jax.tree.leaves(s2.params)[0]), rtol=1e-4, atol=1e-6,
     )
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    """Save a TrainState with orbax and restore it bit-exact."""
+    cfg, model, tx, state, batch = setup
+    from tpuasr.train.checkpoint import restore_checkpoint, save_checkpoint
+    from tpuasr.train import TrainState
+
+    step = make_train_step(model, tx, cfg, donate=False)
+    state2, _ = step(state, batch, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state2, {"step": int(state2.step)})
+    restored = restore_checkpoint(path, TrainState.create(state.params, tx))
+    assert int(restored.step) == int(state2.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed state trains onward
+    state3, m = step(restored, batch, jax.random.PRNGKey(0))
+    assert bool(m["finite"])
+    assert int(state3.step) == int(state2.step) + 1

@@ -41,8 +41,13 @@ def main():
 
     cfg = load_yaml(args.config) if args.config else Config()
     cfg = override(cfg, parse_overrides(args.set))
-    tokenizer = Tokenizer(args.vocab or (cfg.data.vocab_file if os.path.exists(cfg.data.vocab_file) else None))
-    cfg.model.vocab_size = tokenizer.size
+    vocab_path = args.vocab or (cfg.data.vocab_file if os.path.exists(cfg.data.vocab_file) else None)
+    if vocab_path:
+        tokenizer = Tokenizer(vocab_path)
+        cfg.model.vocab_size = tokenizer.size
+    else:
+        # no vocabulary on disk: placeholder tokens matching the configured size
+        tokenizer = Tokenizer(tokens=[f"syl{i}" for i in range(cfg.model.vocab_size - 6)])
 
     model = build_model(cfg, "online_rnnt")
     wave, sr = read_wav(args.wav)
