@@ -225,3 +225,18 @@ def test_efficient_conformer_encoder(rng):
     assert np.all(np.isfinite(np.asarray(ys)))
     g = jax.grad(lambda p: model.apply(p, feats, feat_lens)[0].sum())(params)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_ctc_greedy_details():
+    """DecodeResult fields (wenet search.py:30-59): emission times + confidence."""
+    path = [BLANK, 1, 1, BLANK, 2, BLANK, 3]
+    lp = np.full((1, len(path), VOCAB), -10.0, np.float32)
+    for t, p in enumerate(path):
+        lp[0, t, p] = 0.0
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(lp), -1))
+    toks, lens, times, conf = ctc_greedy_decode(
+        jnp.asarray(lp), np.array([7], np.int32), BLANK, with_details=True
+    )
+    assert list(np.asarray(toks[0, :3])) == [1, 2, 3]
+    assert list(np.asarray(times[0, :3])) == [1, 4, 6]
+    assert 0.0 < float(conf[0]) <= 1.0
