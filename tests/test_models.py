@@ -240,3 +240,30 @@ def test_ctc_greedy_details():
     assert list(np.asarray(toks[0, :3])) == [1, 2, 3]
     assert list(np.asarray(times[0, :3])) == [1, 4, 6]
     assert 0.0 < float(conf[0]) <= 1.0
+
+
+@pytest.mark.parametrize("etype", ["squeezeformer", "efficient_conformer"])
+def test_transducer_with_encoder_families(etype, rng):
+    """Squeezeformer / EfficientConformer wired through the Transducer:
+    loss forward, grads, and offline greedy decode."""
+    cfg = small_model_cfg()
+    cfg.encoder.encoder_type = etype
+    cfg.encoder.reduce_idx = (0,)
+    cfg.encoder.recover_idx = (1,)
+    cfg.encoder.stride_layer_idx = (0,)
+    model = Transducer(cfg)
+    feats = rng.standard_normal((2, 131, 80)).astype(np.float32)
+    feat_lens = np.array([131, 99], np.int32)
+    texts = rng.integers(6, VOCAB, size=(2, 5)).astype(np.int32)
+    text_lens = np.array([5, 3], np.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens, texts, text_lens)
+    out = model.apply(params, feats, feat_lens, texts, text_lens)
+    assert np.isfinite(float(out["loss"])), etype
+    g = jax.grad(lambda p: model.apply(p, feats, feat_lens, texts, text_lens)["loss"])(params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+    enc, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+    assert enc.shape[1] >= int(np.max(np.asarray(enc_lens)))
+    toks, lens = rnnt_greedy_decode(model, params, enc, enc_lens, BLANK,
+                                    n_steps=2, max_tokens=20)
+    assert toks.shape == (2, 20)

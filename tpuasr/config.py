@@ -66,6 +66,14 @@ class EncoderConfig:
     mlp_type: str = "position_wise_feed_forward"
     n_expert: int = 8
     n_expert_activated: int = 2
+    # encoder family: conformer | squeezeformer | efficient_conformer
+    encoder_type: str = "conformer"
+    # squeezeformer time reduction / recovery layer indices
+    reduce_idx: tuple = (5,)
+    recover_idx: tuple = (11,)
+    # efficient-conformer strided layers + attention group size
+    stride_layer_idx: tuple = (3,)
+    group_size: int = 3
 
 
 @dataclass

@@ -27,6 +27,68 @@ from tpuasr.nn.predictor import PREDICTOR_CLASSES
 from tpuasr.nn.subsampling import subsampled_len
 
 
+def build_encoder(enc_cfg, dtype):
+    """Encoder-family factory (wenet init_model registry role): conformer
+    (full streaming support) | squeezeformer | efficient_conformer
+    (full-context + prefix-recompute streaming)."""
+    etype = getattr(enc_cfg, "encoder_type", "conformer")
+    if etype == "conformer":
+        return ConformerEncoder(enc_cfg, dtype, name="encoder")
+    if etype == "squeezeformer":
+        from tpuasr.nn.squeezeformer import SqueezeformerConfig, SqueezeformerEncoder
+
+        sc = SqueezeformerConfig(
+            input_size=enc_cfg.input_size,
+            encoder_dim=enc_cfg.output_size,
+            output_size=enc_cfg.output_size,
+            attention_heads=enc_cfg.attention_heads,
+            num_blocks=enc_cfg.num_blocks,
+            reduce_idx=tuple(enc_cfg.reduce_idx),
+            recover_idx=tuple(enc_cfg.recover_idx),
+            feed_forward_expansion_factor=max(
+                enc_cfg.linear_units // enc_cfg.output_size, 1
+            ),
+            cnn_module_kernel=enc_cfg.cnn_module_kernel,
+            dropout_rate=enc_cfg.dropout_rate,
+            activation_type=enc_cfg.activation_type,
+            max_len=enc_cfg.max_len,
+            use_dynamic_chunk=enc_cfg.use_dynamic_chunk,
+            static_chunk_size=enc_cfg.static_chunk_size,
+        )
+        return SqueezeformerEncoder(sc, dtype, name="encoder")
+    if etype == "efficient_conformer":
+        from tpuasr.nn.efficient_conformer import (
+            EfficientConformerConfig, EfficientConformerEncoder,
+        )
+
+        ec = EfficientConformerConfig(
+            input_size=enc_cfg.input_size,
+            output_size=enc_cfg.output_size,
+            attention_heads=enc_cfg.attention_heads,
+            linear_units=enc_cfg.linear_units,
+            num_blocks=enc_cfg.num_blocks,
+            stride_layer_idx=tuple(enc_cfg.stride_layer_idx),
+            group_size=enc_cfg.group_size,
+            cnn_module_kernel=enc_cfg.cnn_module_kernel,
+            dropout_rate=enc_cfg.dropout_rate,
+            activation_type=enc_cfg.activation_type,
+            input_layer=enc_cfg.input_layer,
+            max_len=enc_cfg.max_len,
+            use_dynamic_chunk=enc_cfg.use_dynamic_chunk,
+            static_chunk_size=enc_cfg.static_chunk_size,
+        )
+        return EfficientConformerEncoder(ec, dtype, name="encoder")
+    raise ValueError(f"unknown encoder_type {etype}")
+
+
+def encoder_output_len(enc_cfg, encoder, feat_lens):
+    """Encoder frame count for padded inputs, per family."""
+    etype = getattr(enc_cfg, "encoder_type", "conformer")
+    if etype == "efficient_conformer":
+        return encoder.output_len(feat_lens)
+    return subsampled_len(enc_cfg.input_layer, feat_lens)
+
+
 def add_blank(texts: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     """[B, U] -> [B, U+1] with blank prepended (predictor input)."""
     b = texts.shape[0]
@@ -52,7 +114,7 @@ class Transducer(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        self.encoder = ConformerEncoder(c.encoder, dtype, name="encoder")
+        self.encoder = build_encoder(c.encoder, dtype)
         pred_cls = PREDICTOR_CLASSES[c.predictor.predictor_type]
         self.predictor = pred_cls(c.predictor, c.vocab_size, dtype, name="predictor")
         self.joint = TransducerJoint(c.joint, c.vocab_size, dtype,
@@ -80,11 +142,13 @@ class Transducer(nn.Module):
             chunk_rng=chunk_rng,
             deterministic=deterministic,
         )
-        enc_lens = subsampled_len(self.cfg.encoder.input_layer, feat_lens)
+        enc_lens = encoder_output_len(self.cfg.encoder, self.encoder, feat_lens)
         return ys, enc_lens
 
     def encode_chunk(self, xs: jnp.ndarray, state: EncoderStreamState):
-        """One streaming chunk -> ([B, chunk, D], new encoder state)."""
+        """One streaming chunk -> ([B, chunk, D], new encoder state).
+        (Cached streaming: conformer family; squeezeformer/efficient_conformer
+        use tpuasr.streaming.prefix_recompute instead.)"""
         return self.encoder.forward_chunk(xs, state)
 
     def init_encoder_state(self, batch: int, chunk_size: int, num_left_chunks: int):
