@@ -71,6 +71,9 @@ class EncoderConfig:
     # squeezeformer time reduction / recovery layer indices
     reduce_idx: tuple = (5,)
     recover_idx: tuple = (11,)
+    # squeezeformer reduction layer: conv (full-context) | stream (chunk-local,
+    # required for cached streaming — wenet TimeReductionLayerStream)
+    time_reduction_type: str = "conv"
     # efficient-conformer strided layers + attention group size
     stride_layer_idx: tuple = (3,)
     group_size: int = 3

@@ -65,9 +65,12 @@ def process_chunk(
     n_steps: int = 10,
 ) -> StreamingState:
     """Encode one chunk and greedily decode its frames (incremental API)."""
+    from tpuasr.models.transducer import stream_output_factor
+
     ys, enc_state = model.apply(params, chunk_feats, state.enc, method="encode_chunk")
     chunk = ys.shape[1]
-    frame_idx = state.enc.offset + jnp.arange(chunk)[None, :]
+    out_factor = stream_output_factor(model.cfg.encoder)
+    frame_idx = state.enc.offset // out_factor + jnp.arange(chunk)[None, :]
     valid = frame_idx < state.enc_lens[:, None]
     dec = greedy_frames(model, params, ys, valid, state.dec, blank_id, n_steps)
     return StreamingState(enc=enc_state, dec=dec, enc_lens=state.enc_lens)
@@ -85,13 +88,14 @@ def streaming_greedy_decode(
     max_tokens: int = 200,
 ):
     """Whole-utterance simulated streaming -> (tokens, token_lens, state)."""
-    from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES, subsampled_len
+    from tpuasr.models.transducer import stream_output_len
+    from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES
 
     cfg = model.cfg.encoder
     sub = SUBSAMPLE_CLASSES[cfg.input_layer]
     b, t, _ = feats.shape
     n = num_chunks(t, chunk_size, sub.subsampling_rate, sub.right_context)
-    enc_lens = subsampled_len(cfg.input_layer, feat_lens)
+    enc_lens = stream_output_len(cfg, feat_lens)
 
     windows = chunk_windows(feats, chunk_size, sub.subsampling_rate, sub.right_context, n)
     state = init_streaming_state(
@@ -140,9 +144,12 @@ def process_chunk_beam(
 ) -> StreamingBeamState:
     """Encode one chunk and advance the beam over its frames
     (process_single_chunk_beam_search parity, batched)."""
+    from tpuasr.models.transducer import stream_output_factor
+
     ys, enc_state = model.apply(params, chunk_feats, state.enc, method="encode_chunk")
     chunk = ys.shape[1]
-    frame_idx = state.enc.offset + jnp.arange(chunk)[None, :]
+    out_factor = stream_output_factor(model.cfg.encoder)
+    frame_idx = state.enc.offset // out_factor + jnp.arange(chunk)[None, :]
     valid = frame_idx < state.enc_lens[:, None]
     beam = beam_frames(model, params, ys, valid, state.beam, blank_id,
                        n_steps=n_steps)
@@ -163,13 +170,14 @@ def streaming_beam_decode(
 ):
     """Whole-utterance simulated streaming beam search ->
     (best tokens, best lens, final state)."""
-    from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES, subsampled_len
+    from tpuasr.models.transducer import stream_output_len
+    from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES
 
     cfg = model.cfg.encoder
     sub = SUBSAMPLE_CLASSES[cfg.input_layer]
     b, t, _ = feats.shape
     n = num_chunks(t, chunk_size, sub.subsampling_rate, sub.right_context)
-    enc_lens = subsampled_len(cfg.input_layer, feat_lens)
+    enc_lens = stream_output_len(cfg, feat_lens)
 
     windows = chunk_windows(feats, chunk_size, sub.subsampling_rate, sub.right_context, n)
     state = init_streaming_beam_state(

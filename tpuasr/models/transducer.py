@@ -54,6 +54,8 @@ def build_encoder(enc_cfg, dtype):
             max_len=enc_cfg.max_len,
             use_dynamic_chunk=enc_cfg.use_dynamic_chunk,
             static_chunk_size=enc_cfg.static_chunk_size,
+            causal=enc_cfg.causal,
+            time_reduction_type=getattr(enc_cfg, "time_reduction_type", "conv"),
         )
         return SqueezeformerEncoder(sc, dtype, name="encoder")
     if etype == "efficient_conformer":
@@ -76,6 +78,7 @@ def build_encoder(enc_cfg, dtype):
             max_len=enc_cfg.max_len,
             use_dynamic_chunk=enc_cfg.use_dynamic_chunk,
             static_chunk_size=enc_cfg.static_chunk_size,
+            causal=enc_cfg.causal,
         )
         return EfficientConformerEncoder(ec, dtype, name="encoder")
     raise ValueError(f"unknown encoder_type {etype}")
@@ -87,6 +90,25 @@ def encoder_output_len(enc_cfg, encoder, feat_lens):
     if etype == "efficient_conformer":
         return encoder.output_len(feat_lens)
     return subsampled_len(enc_cfg.input_layer, feat_lens)
+
+
+def stream_output_factor(enc_cfg) -> int:
+    """Encoder-output frames per streaming chunk frame: 1 except for the
+    efficient-conformer's mid-stack strides (chunk of C subsampled frames
+    emits C / factor output frames)."""
+    if getattr(enc_cfg, "encoder_type", "conformer") == "efficient_conformer":
+        f = 1
+        for _ in enc_cfg.stride_layer_idx:
+            f *= getattr(enc_cfg, "stride", 2)
+        return f
+    return 1
+
+
+def stream_output_len(enc_cfg, feat_lens):
+    """Output frame count at the encoder's final rate (family-aware)."""
+    base = subsampled_len(enc_cfg.input_layer, feat_lens)
+    f = stream_output_factor(enc_cfg)
+    return (base + f - 1) // f if f > 1 else base
 
 
 def add_blank(texts: jnp.ndarray, blank_id: int) -> jnp.ndarray:

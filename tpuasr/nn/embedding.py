@@ -38,18 +38,21 @@ class PositionalEncodingTable:
         self.xscale = math.sqrt(d_model)
         self.table = sinusoid_table(max_len, d_model)
 
-    def position_encoding(self, offset, size: int) -> jnp.ndarray:
+    def position_encoding(self, offset, size: int, stride: int = 1) -> jnp.ndarray:
         """PE window [1, size, d] (or [B, size, d] for per-batch offsets).
 
         `offset` may be a python int, a traced scalar, or a [B] array; indices
         below zero clamp to 0 (those slots are always masked by callers).
+        `stride` indexes every stride-th table entry — used by reduced-rate
+        encoder layers whose full-context forward samples ``pos_emb[:, ::f]``
+        (squeezeformer/efficient-conformer time reduction).
         """
         table = jnp.asarray(self.table)
-        if isinstance(offset, int):
+        if isinstance(offset, int) and stride == 1:
             assert offset + size <= self.max_len
             return table[offset : offset + size][None]
         offset = jnp.asarray(offset)
-        idx = jnp.arange(size)
+        idx = jnp.arange(size) * stride
         if offset.ndim == 0:
             pos = jnp.clip(offset + idx, 0, self.max_len - 1)
             return jnp.take(table, pos, axis=0)[None]

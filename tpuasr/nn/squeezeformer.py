@@ -1,4 +1,5 @@
-"""Squeezeformer encoder.
+"""Squeezeformer encoder — full-context / chunk-masked forward and cached
+chunk streaming.
 
 Parity: wenet/squeezeformer/ (SURVEY §2.4) — the distinguishing mechanics:
 U-Net-style temporal reduction (halve the frame rate at `reduce_idx`, recover
@@ -7,13 +8,20 @@ encoder.py:209-237), post-norm blocks in MHSA→FFN→Conv→FFN order with
 per-submodule adaptive scale/bias (encoder_layer.py:21-180), depthwise conv
 subsampling, rel-pos attention.
 
-TPU notes: reduction/recovery keep static shapes (T halves to (T+1)//2 and
-recovers by repeat+trim); masks subsample with the features. The rel-pos
-attention reuses the framework's no-rel-shift formulation (wenet's
-squeezeformer enables rel_shift; the bias family is equivalent for these
-sequence lengths and keeps the streaming story uniform). Full-context
-training/eval path; chunk streaming for squeezeformer is a later round
-(wenet has it at encoder.py:266).
+Streaming (wenet encoder.py:266-406 contract, redesigned for XLA static
+shapes): wenet stores one full-rate att cache per layer and re-expands the
+reduced-rate layers' caches by `repeat_interleave(factor)` each chunk
+(encoder.py:388-396). Here each layer keeps a fixed-capacity cache *at its own
+frame rate* — full-rate layers hold `A = chunk * left_chunks` key/value slots,
+reduced-rate layers hold `A / 2` — so no repeat/subsample round-trip happens
+and every chunk step compiles once. Positional encodings for reduced-rate
+layers index the table at stride `factor` (the streaming analog of the full
+forward's `pos_emb[:, ::2]`, encoder.py:219). Streaming requires
+`causal=True` (cached depthwise conv) and the chunk-local
+`time_reduction_type="stream"` (TimeReductionLayerStream,
+subsampling.py:241-321: kernel 1, stride 2 — no cross-chunk receptive field);
+under those flags chunked output equals the full-context chunk-masked forward
+exactly (tests/test_streaming_families.py).
 """
 
 from __future__ import annotations
@@ -50,6 +58,11 @@ class SqueezeformerConfig:
     max_len: int = 5000
     use_dynamic_chunk: bool = False
     static_chunk_size: int = 0
+    causal: bool = False
+    # "conv": k=5 s=2 symmetric-pad depthwise (TimeReductionLayer1D parity,
+    #   full-context only); "stream": k=1 s=2 chunk-local
+    #   (TimeReductionLayerStream parity, required for cached streaming)
+    time_reduction_type: str = "conv"
 
 
 class AdaptiveScale(nn.Module):
@@ -92,7 +105,8 @@ class DepthwiseConv2dSubsampling4(nn.Module):
 
 class TimeReductionLayer(nn.Module):
     """Depthwise conv (k=5, s=2) halving the frame rate
-    (wenet squeezeformer subsampling.py:95-180)."""
+    (wenet squeezeformer subsampling.py:95-180). Symmetric padding looks
+    ahead 2 frames — full-context configs only."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
@@ -100,10 +114,34 @@ class TimeReductionLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask_pad):
         # zero padded frames, depthwise temporal conv stride 2
-        x = jnp.where(mask_pad.transpose(0, 2, 1), x, 0)
+        if mask_pad is not None:
+            x = jnp.where(mask_pad.transpose(0, 2, 1), x, 0)
         y = nn.Conv(self.dim, (5,), strides=(2,), padding=[(2, 2)],
                     feature_group_count=self.dim, dtype=self.dtype, name="dw")(x)
         y = nn.Conv(self.dim, (1,), dtype=self.dtype, name="pw")(y)
+        if mask_pad is None:
+            return y, None
+        new_mask = mask_pad[:, :, ::2]
+        return jnp.where(new_mask.transpose(0, 2, 1), y, 0), new_mask
+
+
+class TimeReductionLayerStream(nn.Module):
+    """Chunk-local time reduction: depthwise conv k=1 s=2 + pointwise
+    (wenet TimeReductionLayerStream, subsampling.py:241-321). Zero receptive
+    field across frames, so chunked == full exactly."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask_pad):
+        if mask_pad is not None:
+            x = jnp.where(mask_pad.transpose(0, 2, 1), x, 0)
+        y = nn.Conv(self.dim, (1,), strides=(2,), padding="VALID",
+                    feature_group_count=self.dim, dtype=self.dtype, name="dw")(x)
+        y = nn.Conv(self.dim, (1,), dtype=self.dtype, name="pw")(y)
+        if mask_pad is None:
+            return y, None
         new_mask = mask_pad[:, :, ::2]
         return jnp.where(new_mask.transpose(0, 2, 1), y, 0), new_mask
 
@@ -113,7 +151,8 @@ class SqueezeformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, att_mask, pos_emb, mask_pad, deterministic=True):
+    def __call__(self, x, att_mask, pos_emb, mask_pad, att_cache=None,
+                 cnn_cache=None, deterministic=True):
         c = self.cfg
         d = c.encoder_dim
         drop = lambda y: nn.Dropout(c.dropout_rate)(y, deterministic=deterministic)
@@ -127,9 +166,9 @@ class SqueezeformerBlock(nn.Module):
 
         # MHSA (post-norm)
         residual = x
-        y, _ = RelPositionMultiHeadedAttention(
+        y, new_att_cache = RelPositionMultiHeadedAttention(
             c.attention_heads, d, c.dropout_rate, self.dtype, name="self_attn"
-        )(scale("scale_att")(x), att_mask, pos_emb, None, deterministic)
+        )(scale("scale_att")(x), att_mask, pos_emb, att_cache, deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(residual + drop(y))
 
         # FFN 1
@@ -139,17 +178,39 @@ class SqueezeformerBlock(nn.Module):
 
         # Conv
         residual = x
-        y, _ = ConvolutionModule(
-            d, c.cnn_module_kernel, "layer_norm", causal=False, dtype=self.dtype,
-            name="conv",
-        )(scale("scale_conv")(x), mask_pad, None, deterministic)
+        y, new_cnn_cache = ConvolutionModule(
+            d, c.cnn_module_kernel, "layer_norm", causal=c.causal,
+            dtype=self.dtype, name="conv",
+        )(scale("scale_conv")(x), mask_pad, cnn_cache, deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="ln3")(residual + drop(y))
 
         # FFN 2
         residual = x
         y = ffn("ffn2")(scale("scale_ffn2")(x), deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="ln4")(residual + drop(y))
-        return x
+        return x, new_att_cache, new_cnn_cache
+
+
+@dataclass
+class SqueezeformerStreamState:
+    """Per-layer fixed-shape streaming caches (shapes differ by frame rate).
+
+    att: tuple over layers of (k, v), each [B, A_i, H, dk] at the layer's
+         own rate (A_i = chunk * left_chunks / factor_i).
+    cnn: tuple over layers of [B, lorder, D] post-GLU conv left context.
+    offset: [] int32 — full-rate encoder frames consumed so far.
+    """
+
+    att: tuple
+    cnn: tuple
+    offset: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    SqueezeformerStreamState,
+    data_fields=["att", "cnn", "offset"],
+    meta_fields=[],
+)
 
 
 class SqueezeformerEncoder(nn.Module):
@@ -166,8 +227,10 @@ class SqueezeformerEncoder(nn.Module):
             for i in range(c.num_blocks)
         ]
         if c.reduce_idx:
-            self.time_reduction = TimeReductionLayer(c.encoder_dim, self.dtype,
-                                                     name="time_reduction")
+            red_cls = (TimeReductionLayerStream if c.time_reduction_type == "stream"
+                       else TimeReductionLayer)
+            self.time_reduction = red_cls(c.encoder_dim, self.dtype,
+                                          name="time_reduction")
         if c.recover_idx:
             self.time_recover = nn.Dense(c.encoder_dim, dtype=self.dtype,
                                          name="time_recover")
@@ -182,6 +245,19 @@ class SqueezeformerEncoder(nn.Module):
     @property
     def right_context(self):
         return 6
+
+    def layer_factor(self, i: int) -> int:
+        """Frame-rate downsampling factor seen by layer i's attention
+        (wenet calculate_downsampling_factor, encoder.py:252-264)."""
+        c = self.cfg
+        f = 1
+        for rd in c.reduce_idx or ():
+            if i >= rd:
+                f *= 2
+        for rc in c.recover_idx or ():
+            if i >= rc:
+                f //= 2
+        return max(f, 1)
 
     def __call__(self, xs, xs_lens, decoding_chunk_size: int = 0,
                  num_decoding_left_chunks: int = -1, chunk_rng=None,
@@ -219,8 +295,106 @@ class SqueezeformerEncoder(nn.Module):
                 up = jnp.repeat(ys, 2, axis=1)[:, : rec_ys.shape[1]]
                 ys = rec_ys + self.time_recover(up)
                 ys = jnp.where(masks.transpose(0, 2, 1), ys, 0)
-            ys = blk(ys, chunk_masks, pos_emb, masks, deterministic)
+            ys, _, _ = blk(ys, chunk_masks, pos_emb, masks,
+                           deterministic=deterministic)
 
         if c.output_size != c.encoder_dim:
             ys = self.final_proj(ys)
         return ys, masks
+
+    # ------------------------------------------------------------------
+    # streaming
+    # ------------------------------------------------------------------
+
+    def init_stream_state(self, batch: int, chunk_size: int,
+                          num_left_chunks: int) -> SqueezeformerStreamState:
+        """Zeroed per-layer caches. Streaming requires causal convs, the
+        chunk-local "stream" time reduction, and an even chunk size (the
+        reduced-rate region advances by chunk/2 per step)."""
+        c = self.cfg
+        assert c.causal, "squeezeformer streaming requires causal=True"
+        assert c.time_reduction_type == "stream" or not c.reduce_idx, (
+            "squeezeformer streaming requires time_reduction_type='stream'"
+        )
+        assert chunk_size % 2 == 0 or not c.reduce_idx, "chunk must be even"
+        h = c.attention_heads
+        dk = c.encoder_dim // h
+        a = chunk_size * max(num_left_chunks, 0)
+        lorder = c.cnn_module_kernel - 1
+        att, cnn = [], []
+        for i in range(c.num_blocks):
+            f = self.layer_factor(i)
+            att.append((
+                jnp.zeros((batch, a // f, h, dk), self.dtype),
+                jnp.zeros((batch, a // f, h, dk), self.dtype),
+            ))
+            cnn.append(jnp.zeros((batch, lorder, c.encoder_dim), self.dtype))
+        return SqueezeformerStreamState(
+            att=tuple(att), cnn=tuple(cnn), offset=jnp.zeros((), jnp.int32)
+        )
+
+    def forward_chunk(self, xs: jnp.ndarray, state: SqueezeformerStreamState):
+        """One streaming step -> ([B, chunk, D], new state).
+
+        `xs` is the raw feature window
+        `(chunk - 1) * subsampling_rate + right_context + 1` (overlap
+        subsampling, wenet encoder.py:424-435 rationale).
+        """
+        c = self.cfg
+        b = xs.shape[0]
+        reduce_idx = set(c.reduce_idx or ())
+        recover_idx = set(c.recover_idx or ())
+
+        ys = self.embed(xs)  # [B, chunk, D]
+        chunk = ys.shape[1]
+        ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
+        ys = self.preln(ys)
+
+        def rate_view(factor):
+            """(pos_emb, att_mask, chunk_f, a_f) at a given frame rate."""
+            a_f = state.att[0][0].shape[1] * self.layer_factor(0) // factor
+            chunk_f = chunk // factor
+            off_f = state.offset // factor
+            pos = self.pe.position_encoding(
+                (off_f - a_f) * factor, a_f + chunk_f, stride=factor
+            ).astype(ys.dtype)
+            valid = jnp.minimum(off_f, a_f)
+            j = jnp.arange(a_f + chunk_f)[None, None, :]
+            att_mask = jnp.broadcast_to(j >= (a_f - valid), (b, chunk_f, a_f + chunk_f))
+            return pos, att_mask
+
+        new_att = [None] * c.num_blocks
+        new_cnn = [None] * c.num_blocks
+        stack = []
+        factor = 1
+        pos_emb, att_mask = rate_view(1)
+        for i, blk in enumerate(self.blocks):
+            if i in reduce_idx:
+                stack.append((ys, pos_emb, att_mask, factor))
+                ys, _ = self.time_reduction(ys, None)
+                factor *= 2
+                pos_emb, att_mask = rate_view(factor)
+            if i in recover_idx and stack:
+                rec_ys, pos_emb, att_mask, factor = stack.pop()
+                up = jnp.repeat(ys, 2, axis=1)[:, : rec_ys.shape[1]]
+                ys = rec_ys + self.time_recover(up)
+            k_cache, v_cache = state.att[i]
+            a_i = k_cache.shape[1]
+            ys, (k_full, v_full), cnn_new = blk(
+                ys, att_mask, pos_emb, mask_pad=None,
+                att_cache=(k_cache, v_cache), cnn_cache=state.cnn[i],
+                deterministic=True,
+            )
+            chunk_i = k_full.shape[1] - a_i
+            new_att[i] = (
+                (k_full[:, chunk_i:], v_full[:, chunk_i:]) if a_i > 0
+                else (k_full[:, :0], v_full[:, :0])
+            )
+            new_cnn[i] = cnn_new if cnn_new is not None else state.cnn[i]
+
+        if c.output_size != c.encoder_dim:
+            ys = self.final_proj(ys)
+        new_state = SqueezeformerStreamState(
+            att=tuple(new_att), cnn=tuple(new_cnn), offset=state.offset + chunk
+        )
+        return ys, new_state

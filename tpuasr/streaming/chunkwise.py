@@ -64,6 +64,13 @@ def chunk_stream_encode(
 
     Output frame count may exceed the full-context encoder's (the zero-padded
     tail produces frames); callers mask with the true encoder lengths.
+
+    Tail semantics: if the stream length is not a multiple of the chunk size,
+    the final chunk's window is zero-padded, and *valid* frames inside that
+    chunk attend the padded garbage through in-chunk lookahead — the same
+    approximation wenet's padded ONNX streaming accepts
+    (efficient_conformer/encoder.py:455-460). Exact-tail evaluation feeds
+    only whole chunks (the RTF/CER harnesses do).
     """
     sub = model.cfg.encoder if hasattr(model.cfg, "encoder") else model.cfg
     from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES
