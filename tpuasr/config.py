@@ -219,6 +219,9 @@ class MeshConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel_size: int = 1
+    # ZeRO-style state sharding over the data axis (fsdp_utils.py:38-115
+    # parity): none | zero1 (optimizer moments) | zero3 (+ parameters)
+    zero_stage: str = "none"
 
 
 @dataclass

@@ -4,5 +4,18 @@ from tpuasr.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from tpuasr.parallel.zero import (
+    assert_sharded,
+    shard_train_state,
+    train_state_shardings,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "train_state_shardings",
+    "shard_train_state",
+    "assert_sharded",
+]

@@ -70,8 +70,15 @@ def make_train_step(
     cfg: Config,
     donate: bool = True,
     remat: bool = False,
+    state_shardings=None,
 ) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    `state_shardings` (a TrainState-shaped pytree of NamedShardings from
+    tpuasr.parallel.zero.train_state_shardings) pins the output state to the
+    ZeRO layout, so sharded optimizer moments / params stay sharded across
+    steps — the compiler inserts the all-gathers at their use sites
+    (fsdp_utils.py:38-115 parity, SPMD-style)."""
 
     def loss_fn(params, variables_rest, batch, rng):
         variables = {"params": params, **variables_rest}
@@ -125,7 +132,11 @@ def make_train_step(
                 metrics[k] = out[k]
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jit_kwargs = {}
+    if state_shardings is not None:
+        jit_kwargs["in_shardings"] = (state_shardings, None, None)
+        jit_kwargs["out_shardings"] = (state_shardings, None)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (), **jit_kwargs)
 
 
 def make_eval_step(model, cfg: Config) -> Callable:
