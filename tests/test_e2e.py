@@ -149,3 +149,41 @@ def test_first_token_delay(trained):
     assert 0.0 <= stats["emitted_fraction"] <= 1.0
     if stats["emitted_fraction"] > 0:
         assert stats["p50_first_token_delay_s"] > 0
+
+
+def test_beam_ctc_shallow_fusion(trained):
+    """Per-frame CTC shallow fusion (prefix_beam_search.py:99-101 parity):
+    the fusion flag works end-to-end and does not hurt accuracy on the
+    overfit corpus; zero ctc weight reproduces the pure beam exactly."""
+    from tpuasr.audio import fbank_batch
+    from tpuasr.decode.rnnt_beam import rnnt_beam_decode
+    from tpuasr.text.cer import corpus_cer
+
+    cfg, model, params, batch = trained
+    db = device_view(batch)
+    feats, feat_lens = fbank_batch(db["waves"], db["wave_lens"], cfg.feature)
+    enc, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+
+    pure_tok, pure_len, *_ = rnnt_beam_decode(
+        model, params, enc, enc_lens, BLANK, beam_size=4, max_tokens=20)
+    fused_tok, fused_len, *_ = rnnt_beam_decode(
+        model, params, enc, enc_lens, BLANK, beam_size=4, max_tokens=20,
+        ctc_weight=0.3, transducer_weight=0.7)
+
+    def cer_of(toks, lens):
+        pairs = []
+        for b in range(toks.shape[0]):
+            hyp = [int(x) for x in np.asarray(toks[b][: int(lens[b])])]
+            ref = [int(x) for x in np.asarray(db["texts"][b][: int(db["text_lens"][b])])]
+            pairs.append((ref, hyp))
+        counts = corpus_cer(pairs)
+        return counts.errors / counts.ref_len
+
+    fused_cer, pure_cer = cer_of(fused_tok, fused_len), cer_of(pure_tok, pure_len)
+    assert fused_cer <= pure_cer + 0.05, (fused_cer, pure_cer)
+
+    # ctc_weight=0 keeps the pure-beam path bit-identical
+    zero_tok, zero_len, *_ = rnnt_beam_decode(
+        model, params, enc, enc_lens, BLANK, beam_size=4, max_tokens=20,
+        ctc_weight=0.0)
+    np.testing.assert_array_equal(np.asarray(zero_tok), np.asarray(pure_tok))

@@ -45,6 +45,13 @@ class EncoderConfig:
     attention_dropout_rate: float = 0.0
     input_layer: str = "conv2d"  # linear | conv2d | conv2d6 | conv2d8
     pos_enc_layer_type: str = "rel_pos"  # abs_pos | rel_pos | no_pos
+    # attention zoo (wenet attention.py:29-686): "" derives from
+    # pos_enc_layer_type (rel_pos -> rel-bias attention, else plain MHA);
+    # explicit: mha | rel_pos | shaw_rel_pos | rope
+    attention_type: str = ""
+    # GQA/MQA: number of key/value heads (0 = attention_heads; 1 = MQA).
+    # Supported by mha and rope attention types.
+    n_kv_head: int = 0
     normalize_before: bool = True
     macaron_style: bool = True
     use_cnn_module: bool = True

@@ -92,13 +92,21 @@ def beam_frames(
     blank_id: int,
     expand_k: int | None = None,
     n_steps: int = 1,
+    ctc_logp: jnp.ndarray | None = None,  # [B, F, V] frame CTC log-probs
+    transducer_weight: float = 0.7,
+    ctc_weight: float = 0.3,
 ) -> BeamCarry:
     """Advance the beam over F encoder frames.
 
     `n_steps` > 1 allows multiple non-blank emissions per frame (the
     reference online beam's inner expansion, online_rnnt_model.py:433-499):
     each sub-step expands hypotheses that have not yet taken this frame's
-    blank, with a done-flag in the dedup key so frame phases never merge."""
+    blank, with a done-flag in the dedup key so frame phases never merge.
+
+    `ctc_logp` enables per-frame CTC shallow fusion
+    (wenet/transducer/search/prefix_beam_search.py:99-101):
+    ``log(tw * e^rnnt + cw * e^ctc)`` replaces the pure transducer
+    log-probs for both the blank and the non-blank expansions."""
     from tpuasr.decode.state_utils import (
         gather_beam, merge_beam_axis, predictor_state_axis, split_beam_axis,
         where_beam,
@@ -121,7 +129,10 @@ def beam_frames(
 
         return model.apply(params, enc_p, pred_out, method=run)
 
-    def expand_once(carry: BeamCarry, done, enc_p_t):
+    log_tw = jnp.log(jnp.asarray(max(transducer_weight, 1e-10), jnp.float32))
+    log_cw = jnp.log(jnp.asarray(max(ctc_weight, 1e-10), jnp.float32))
+
+    def expand_once(carry: BeamCarry, done, enc_p_t, ctc_t=None):
         """One expansion sub-step. `done` hyps (already took blank this frame)
         pass through unchanged; others propose blank (-> done) and top-k
         non-blank extensions (-> still expandable)."""
@@ -139,6 +150,9 @@ def beam_frames(
             jnp.repeat(enc_p_t[:, None, :], n, axis=1), pred_out
         )  # [B, N, V]
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if ctc_t is not None:
+            # per-frame CTC shallow fusion (prefix_beam_search.py:99-101)
+            lp = jnp.logaddexp(log_tw + lp, log_cw + ctc_t[:, None, :])
 
         # candidate 0: blank for expandable hyps / free pass-through for done
         blank_logp = carry.logp + jnp.where(done, 0.0, lp[..., blank_id])
@@ -193,10 +207,10 @@ def beam_frames(
         )
 
     def frame_step(carry: BeamCarry, inputs):
-        enc_p_t, active = inputs  # [B, Dj], [B]
+        enc_p_t, active, ctc_t = inputs  # [B, Dj], [B], [B, V]|None
 
         if n_steps <= 1:
-            new_carry, _ = expand_once(carry, jnp.zeros((b, n), bool), enc_p_t)
+            new_carry, _ = expand_once(carry, jnp.zeros((b, n), bool), enc_p_t, ctc_t)
         else:
             def cond(s):
                 _, done, i = s
@@ -204,7 +218,7 @@ def beam_frames(
 
             def body(s):
                 c, done, i = s
-                c, done = expand_once(c, done, enc_p_t)
+                c, done = expand_once(c, done, enc_p_t, ctc_t)
                 return (c, done, i + 1)
 
             new_carry, _, _ = jax.lax.while_loop(
@@ -222,7 +236,11 @@ def beam_frames(
         )
         return out, None
 
-    xs = (jnp.swapaxes(enc_proj, 0, 1), jnp.swapaxes(frame_valid, 0, 1))
+    xs = (
+        jnp.swapaxes(enc_proj, 0, 1),
+        jnp.swapaxes(frame_valid, 0, 1),
+        None if ctc_logp is None else jnp.swapaxes(ctc_logp, 0, 1),
+    )
     carry, _ = jax.lax.scan(frame_step, carry, xs)
     return carry
 
@@ -246,14 +264,26 @@ def rnnt_beam_decode(
     beam_size: int = 4,
     max_tokens: int = 200,
     n_steps: int = 1,
+    ctc_weight: float = 0.0,
+    transducer_weight: float = 0.7,
 ):
     """Offline beam search -> (best tokens [B, max_tokens], lens [B],
-    nbest tokens [B, N, max_tokens], nbest lens, nbest logp)."""
+    nbest tokens [B, N, max_tokens], nbest lens, nbest logp).
+
+    `ctc_weight > 0` turns on per-frame CTC shallow fusion over the model's
+    CTC head (wenet transducer beam_search ctc_weight/transducer_weight,
+    transducer.py:215-262 + prefix_beam_search.py:99-101)."""
     b, t, _ = enc_out.shape
     carry = init_beam_carry(model, params, b, beam_size, max_tokens)
     valid = jnp.arange(t)[None, :] < enc_lens[:, None]
+    ctc_logp = None
+    if ctc_weight > 0:
+        ctc_logits = model.apply(params, enc_out, method="ctc_logits")
+        ctc_logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
     carry = beam_frames(model, params, enc_out, valid, carry, blank_id,
-                        n_steps=n_steps)
+                        n_steps=n_steps, ctc_logp=ctc_logp,
+                        transducer_weight=transducer_weight,
+                        ctc_weight=ctc_weight)
     best = jnp.argmax(carry.logp, axis=1)
     best_tokens = jnp.take_along_axis(carry.tokens, best[:, None, None], axis=1)[:, 0]
     best_lens = jnp.take_along_axis(carry.lens, best[:, None], axis=1)[:, 0]

@@ -140,10 +140,13 @@ def init_streaming_beam_state(
 
 def process_chunk_beam(
     model, params, chunk_feats, state: StreamingBeamState, blank_id: int,
-    n_steps: int = 1,
+    n_steps: int = 1, ctc_weight: float = 0.0, transducer_weight: float = 0.7,
 ) -> StreamingBeamState:
     """Encode one chunk and advance the beam over its frames
-    (process_single_chunk_beam_search parity, batched)."""
+    (process_single_chunk_beam_search parity, batched). `ctc_weight > 0`
+    fuses the chunk's CTC log-probs per frame — the reference has this only
+    offline (prefix_beam_search.py:99-101); streaming CTC heads make it free
+    here."""
     from tpuasr.models.transducer import stream_output_factor
 
     ys, enc_state = model.apply(params, chunk_feats, state.enc, method="encode_chunk")
@@ -151,8 +154,13 @@ def process_chunk_beam(
     out_factor = stream_output_factor(model.cfg.encoder)
     frame_idx = state.enc.offset // out_factor + jnp.arange(chunk)[None, :]
     valid = frame_idx < state.enc_lens[:, None]
+    ctc_logp = None
+    if ctc_weight > 0:
+        ctc_logits = model.apply(params, ys, method="ctc_logits")
+        ctc_logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
     beam = beam_frames(model, params, ys, valid, state.beam, blank_id,
-                       n_steps=n_steps)
+                       n_steps=n_steps, ctc_logp=ctc_logp,
+                       transducer_weight=transducer_weight, ctc_weight=ctc_weight)
     return StreamingBeamState(enc=enc_state, beam=beam, enc_lens=state.enc_lens)
 
 
@@ -167,6 +175,8 @@ def streaming_beam_decode(
     beam_size: int = 4,
     max_tokens: int = 200,
     n_steps: int = 1,
+    ctc_weight: float = 0.0,
+    transducer_weight: float = 0.7,
 ):
     """Whole-utterance simulated streaming beam search ->
     (best tokens, best lens, final state)."""
@@ -185,7 +195,10 @@ def streaming_beam_decode(
     )
 
     def step(state, xs):
-        return process_chunk_beam(model, params, xs, state, blank_id, n_steps), None
+        return process_chunk_beam(
+            model, params, xs, state, blank_id, n_steps,
+            ctc_weight=ctc_weight, transducer_weight=transducer_weight,
+        ), None
 
     state, _ = jax.lax.scan(step, state, windows)
     best = jnp.argmax(state.beam.logp, axis=1)

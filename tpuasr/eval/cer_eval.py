@@ -48,6 +48,7 @@ def evaluate_offline(
     n_steps: int = 10,
     max_tokens: int = 200,
     max_samples: int = 5,
+    ctc_fusion_weight: float = 0.0,  # rnnt_beam: per-frame CTC shallow fusion
 ) -> EvalResult:
     c = cfg.model
     total = CerCounts(0, 0, 0, 0)
@@ -74,7 +75,9 @@ def evaluate_offline(
             )
         elif mode == "rnnt_beam":
             toks, tok_lens, *_ = rnnt_beam_decode(
-                model, params, enc, enc_lens, c.blank_id, beam_size, max_tokens
+                model, params, enc, enc_lens, c.blank_id, beam_size, max_tokens,
+                ctc_weight=ctc_fusion_weight,
+                transducer_weight=c.transducer_weight,
             )
         else:
             raise ValueError(mode)

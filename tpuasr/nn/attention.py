@@ -96,13 +96,66 @@ class RelPositionMultiHeadedAttention(nn.Module):
         return self.linear_out(out), new_cache
 
 
+def repeat_kv(z: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    """[B, T, Hkv, dk] -> [B, T, H, dk] GQA/MQA head-repeat
+    (wenet attention.py:217-243)."""
+    hkv = z.shape[2]
+    if hkv == n_head:
+        return z
+    assert n_head % hkv == 0, (n_head, hkv)
+    return jnp.repeat(z, n_head // hkv, axis=2)
+
+
 class MultiHeadedAttention(nn.Module):
-    """Plain scaled dot-product MHA (abs-pos encoders; pos_emb ignored)."""
+    """Plain scaled dot-product MHA (abs-pos encoders; pos_emb ignored).
+
+    `n_kv_head < n_head` selects GQA (MQA at 1): K/V are projected to
+    n_kv_head heads, cached at that width, and head-repeated for the scores
+    (wenet attention.py:217-243)."""
 
     n_head: int
     n_feat: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    n_kv_head: int = 0  # 0 -> n_head
+
+    @nn.compact
+    def __call__(self, x, mask, pos_emb=None, cache=None, deterministic=True):
+        b, t1, _ = x.shape
+        h = self.n_head
+        hk = self.n_kv_head or h
+        dk = self.n_feat // h
+        q = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(x).reshape(b, t1, h, dk)
+        k = nn.Dense(hk * dk, dtype=self.dtype, name="linear_k")(x).reshape(b, t1, hk, dk)
+        v = nn.Dense(hk * dk, dtype=self.dtype, name="linear_v")(x).reshape(b, t1, hk, dk)
+        if cache is not None:
+            k = jnp.concatenate([cache[0], k], axis=1)
+            v = jnp.concatenate([cache[1], v], axis=1)
+        new_cache = (k, v)
+        scores = jnp.einsum("bthd,bshd->bhts", q, repeat_kv(k, h)) / math.sqrt(dk)
+        attn = masked_softmax(scores, None if mask is None else mask[:, None])
+        if self.dropout_rate > 0:
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bshd->bthd", attn, repeat_kv(v, h)).reshape(b, t1, h * dk)
+        return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(out), new_cache
+
+
+class ShawRelPositionMultiHeadedAttention(nn.Module):
+    """Shaw-style learned relative-position attention
+    (https://arxiv.org/abs/1803.02155; wenet attention.py:523-596):
+    ``scores[i, j] += q_i . rel_k[clip(j - i, -max_left, max_right)]``.
+
+    Streaming-safe: relative distances are translation-invariant, so the
+    same table serves the full forward and cached windows (queries are the
+    trailing t1 positions of the key window, the reference's
+    ``rel_k[-q.size(2):]`` trick)."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    max_left_rel_pos: int = 64
+    max_right_rel_pos: int = 8
 
     @nn.compact
     def __call__(self, x, mask, pos_emb=None, cache=None, deterministic=True):
@@ -116,9 +169,73 @@ class MultiHeadedAttention(nn.Module):
             k = jnp.concatenate([cache[0], k], axis=1)
             v = jnp.concatenate([cache[1], v], axis=1)
         new_cache = (k, v)
-        scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(dk)
+        t2 = k.shape[1]
+
+        table = self.param(
+            "rel_k_embed", nn.initializers.normal(stddev=0.02),
+            (self.max_left_rel_pos + self.max_right_rel_pos + 1, dk),
+        )
+        # queries are the last t1 of the t2-long key window
+        qpos = jnp.arange(t1)[:, None] + (t2 - t1)
+        rel = jnp.clip(jnp.arange(t2)[None, :] - qpos,
+                       -self.max_left_rel_pos, self.max_right_rel_pos)
+        rel_k = jnp.take(table.astype(q.dtype), rel + self.max_left_rel_pos,
+                         axis=0)  # [t1, t2, dk]
+        scores = (
+            jnp.einsum("bthd,bshd->bhts", q, k)
+            + jnp.einsum("bthd,tsd->bhts", q, rel_k)
+        ) / math.sqrt(dk)
         attn = masked_softmax(scores, None if mask is None else mask[:, None])
         if self.dropout_rate > 0:
             attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t1, h * dk)
+        return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(out), new_cache
+
+
+def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotary embedding, non-interleaved half-split ('google' style,
+    wenet rope_utils). x [B, T, H, dk]; cos/sin [1|B, T, dk]."""
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return x * cos + rotate_half(x) * sin
+
+
+class RopeMultiHeadedAttention(nn.Module):
+    """RoPE attention (wenet attention.py:599-686): q/k of the current
+    window are rotated by their absolute positions before scoring; cached
+    keys carry their rotation, so chunked streaming needs only the current
+    chunk's angles. Supports GQA via n_kv_head."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    n_kv_head: int = 0
+
+    @nn.compact
+    def __call__(self, x, mask, pos_emb, cache=None, deterministic=True):
+        cos, sin = pos_emb  # each [1|B, t1, dk]
+        b, t1, _ = x.shape
+        h = self.n_head
+        hk = self.n_kv_head or h
+        dk = self.n_feat // h
+        q = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(x).reshape(b, t1, h, dk)
+        k = nn.Dense(hk * dk, dtype=self.dtype, name="linear_k")(x).reshape(b, t1, hk, dk)
+        v = nn.Dense(hk * dk, dtype=self.dtype, name="linear_v")(x).reshape(b, t1, hk, dk)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if cache is not None:
+            k = jnp.concatenate([cache[0], k], axis=1)
+            v = jnp.concatenate([cache[1], v], axis=1)
+        new_cache = (k, v)
+        scores = jnp.einsum("bthd,bshd->bhts", q, repeat_kv(k, h)) / math.sqrt(dk)
+        attn = masked_softmax(scores, None if mask is None else mask[:, None])
+        if self.dropout_rate > 0:
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bshd->bthd", attn, repeat_kv(v, h)).reshape(b, t1, h * dk)
         return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(out), new_cache

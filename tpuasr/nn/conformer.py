@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from tpuasr.config import EncoderConfig
-from tpuasr.nn.attention import MultiHeadedAttention, RelPositionMultiHeadedAttention
+from tpuasr.nn.attention import (
+    MultiHeadedAttention,
+    RelPositionMultiHeadedAttention,
+    RopeMultiHeadedAttention,
+    ShawRelPositionMultiHeadedAttention,
+)
 from tpuasr.nn.convolution import ConvolutionModule
 from tpuasr.nn.embedding import PositionalEncodingTable
 from tpuasr.nn.masks import add_optional_chunk_mask, make_pad_mask
@@ -41,6 +46,16 @@ def swish(x):
 
 
 ACTIVATIONS = {"swish": swish, "relu": nn.relu, "gelu": nn.gelu}
+
+
+def attention_type_of(c) -> str:
+    """Resolve the configured attention family (wenet class_utils
+    WENET_ATTENTION_CLASSES role): explicit `attention_type`, else derived
+    from the positional-encoding type."""
+    explicit = getattr(c, "attention_type", "")
+    if explicit:
+        return explicit
+    return "rel_pos" if c.pos_enc_layer_type == "rel_pos" else "mha"
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -155,13 +170,25 @@ class ConformerBlock(nn.Module):
             self.feed_forward_macaron = ffn("feed_forward_macaron")
             self.norm_ff_macaron = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")
         self.feed_forward = ffn("feed_forward")
-        if c.pos_enc_layer_type == "rel_pos":
+        att_type = attention_type_of(c)
+        n_kv = getattr(c, "n_kv_head", 0)
+        if att_type == "rel_pos":
             self.self_attn = RelPositionMultiHeadedAttention(
                 c.attention_heads, d, c.attention_dropout_rate, self.dtype, name="self_attn"
             )
+        elif att_type == "shaw_rel_pos":
+            self.self_attn = ShawRelPositionMultiHeadedAttention(
+                c.attention_heads, d, c.attention_dropout_rate, self.dtype, name="self_attn"
+            )
+        elif att_type == "rope":
+            self.self_attn = RopeMultiHeadedAttention(
+                c.attention_heads, d, c.attention_dropout_rate, self.dtype,
+                n_kv_head=n_kv, name="self_attn"
+            )
         else:
             self.self_attn = MultiHeadedAttention(
-                c.attention_heads, d, c.attention_dropout_rate, self.dtype, name="self_attn"
+                c.attention_heads, d, c.attention_dropout_rate, self.dtype,
+                n_kv_head=n_kv, name="self_attn"
             )
         self.norm_mha = nn.LayerNorm(dtype=self.dtype, name="norm_mha")
         self.norm_ff = nn.LayerNorm(dtype=self.dtype, name="norm_ff")
@@ -274,7 +301,18 @@ class ConformerEncoder(nn.Module):
         masks = ~make_pad_mask(xs_lens, t)[:, None, :]  # [B, 1, T] True=valid
         ys = self.embed(xs)
         masks = subsampled_mask(masks, c.input_layer)
-        ys, pos_emb = self.pe.rel(ys, 0) if c.pos_enc_layer_type == "rel_pos" else self.pe.add_abs(ys, 0)
+        att_type = attention_type_of(c)
+        if att_type == "rope":
+            ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
+            pos_emb = self.pe.rope_window(0, ys.shape[1],
+                                          c.output_size // c.attention_heads)
+        elif c.pos_enc_layer_type == "rel_pos":
+            ys, pos_emb = self.pe.rel(ys, 0)
+        elif c.pos_enc_layer_type == "no_pos":
+            ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
+            pos_emb = self.pe.position_encoding(0, ys.shape[1])
+        else:
+            ys, pos_emb = self.pe.add_abs(ys, 0)
         ys = self.pos_dropout(ys, deterministic=deterministic)
 
         # dynamic-chunk sampling needs an rng; without one (init / eval callers
@@ -306,7 +344,9 @@ class ConformerEncoder(nn.Module):
         """Zeroed fixed-shape caches for `batch` parallel streams."""
         c = self.cfg
         h = c.attention_heads
-        dk = c.output_size // h
+        if attention_type_of(c) in ("mha", "rope") and getattr(c, "n_kv_head", 0):
+            h = c.n_kv_head  # GQA caches K/V at the reduced head count
+        dk = c.output_size // c.attention_heads
         a = chunk_size * max(num_left_chunks, 0)
         lorder = c.cnn_module_kernel - 1 if c.causal else 0
         z = jnp.zeros
@@ -334,7 +374,17 @@ class ConformerEncoder(nn.Module):
 
         ys = self.embed(xs)  # [B, chunk, D]
         chunk = ys.shape[1]
-        if c.pos_enc_layer_type == "rel_pos":
+        att_type = attention_type_of(c)
+        if att_type == "rope":
+            # cached keys carry their own rotation; only the current chunk's
+            # absolute angles are needed
+            ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
+            pos_emb = self.pe.rope_window(state.offset, chunk,
+                                          c.output_size // c.attention_heads)
+        elif c.pos_enc_layer_type == "rel_pos":
+            ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
+            pos_emb = self.pe.position_encoding(state.offset - a, a + chunk).astype(ys.dtype)
+        elif c.pos_enc_layer_type == "no_pos":
             ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
             pos_emb = self.pe.position_encoding(state.offset - a, a + chunk).astype(ys.dtype)
         else:

@@ -68,3 +68,19 @@ class PositionalEncodingTable:
         """rel_pos: return (x * xscale, PE window) — PE consumed by attention."""
         pe = self.position_encoding(offset, x.shape[1]).astype(x.dtype)
         return x * jnp.asarray(self.xscale, x.dtype), pe
+
+    def rope_window(self, offset, size: int, head_dim: int,
+                    theta: float = 10000.0):
+        """Rotary (cos, sin) tables for positions [offset, offset+size),
+        non-interleaved half-split layout (wenet embedding.py:201-259 /
+        rope_utils 'google' style) -> each [1, size, head_dim]."""
+        half = head_dim // 2
+        inv = 1.0 / (theta ** (np.arange(0, half, dtype=np.float64) * 2 / head_dim))
+        inv = jnp.asarray(inv, jnp.float32)
+        if isinstance(offset, int):
+            pos = jnp.arange(offset, offset + size, dtype=jnp.float32)
+        else:
+            pos = (jnp.asarray(offset) + jnp.arange(size)).astype(jnp.float32)
+        ang = pos[:, None] * inv[None, :]  # [size, half]
+        ang = jnp.concatenate([ang, ang], axis=-1)  # [size, head_dim]
+        return jnp.cos(ang)[None], jnp.sin(ang)[None]
