@@ -267,3 +267,40 @@ def test_transducer_with_encoder_families(etype, rng):
     toks, lens = rnnt_greedy_decode(model, params, enc, enc_lens, BLANK,
                                     n_steps=2, max_tokens=20)
     assert toks.shape == (2, 20)
+
+
+def test_subsampling_longtail_variants():
+    """conv1d2 (Whisper 1D front-end, subsampling.py:116-160) and stack2
+    (stack-n-frames, subsampling.py:338-394): shapes, output_len arithmetic,
+    and a full encoder forward through each."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuasr.config import EncoderConfig
+    from tpuasr.nn.conformer import ConformerEncoder
+    from tpuasr.nn.subsampling import SUBSAMPLE_CLASSES
+
+    for name in ("conv1d2", "stack2"):
+        cls = SUBSAMPLE_CLASSES[name]
+        sub = cls(16)
+        x = np.random.default_rng(0).standard_normal((2, 37, 80)).astype(np.float32)
+        params = sub.init(jax.random.PRNGKey(0), x)
+        y = sub.apply(params, x)
+        assert y.shape == (2, cls.output_len(37), 16), (name, y.shape)
+
+        enc_cfg = EncoderConfig(
+            output_size=16, attention_heads=2, linear_units=32, num_blocks=1,
+            cnn_module_kernel=7, dropout_rate=0.0, positional_dropout_rate=0.0,
+            input_layer=name,
+        )
+        enc = ConformerEncoder(enc_cfg)
+        lens = np.array([37, 25], np.int32)
+        ep = enc.init(jax.random.PRNGKey(1), x, lens)
+        ys, masks = enc.apply(ep, x, lens)
+        assert ys.shape[1] == cls.output_len(37)
+        assert masks.shape[-1] == ys.shape[1]
+        # per-row mask lengths track output_len of each true length
+        got = np.asarray(masks[:, 0].sum(-1))
+        want = [cls.output_len(37), cls.output_len(25)]
+        np.testing.assert_array_equal(got, want)

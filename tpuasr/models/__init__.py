@@ -1,4 +1,5 @@
 from tpuasr.models.ctc_model import CTCModel
 from tpuasr.models.transducer import Transducer, add_blank
+from tpuasr.models.whisper import WhisperModel
 
-__all__ = ["CTCModel", "Transducer", "add_blank"]
+__all__ = ["CTCModel", "Transducer", "add_blank", "WhisperModel"]

@@ -111,11 +111,62 @@ class LinearNoSubsampling(nn.Module):
         return t
 
 
+class Conv1dSubsampling2(nn.Module):
+    """Two 1D convs over time (k=3, SAME-style pad 1; second strides 2) with
+    GELU — the Whisper front-end (wenet subsampling.py:116-160); rate 2,
+    right_context 4."""
+
+    odim: int
+    dtype: jnp.dtype = jnp.float32
+    subsampling_rate = 2
+    right_context = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, F] -> [B, T', D]
+        y = nn.Conv(self.odim, (3,), padding=[(1, 1)], dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.gelu(y)
+        y = nn.Conv(self.odim, (3,), strides=(2,), padding=[(1, 1)],
+                    dtype=self.dtype, name="conv2")(y)
+        return nn.gelu(y)
+
+    @staticmethod
+    def output_len(t):
+        return (t - 1) // 2 + 1
+
+
+class StackNFramesSubsampling(nn.Module):
+    """Stack `stride` consecutive frames and project: LayerNorm + Linear over
+    [B, T/stride, idim*stride] (wenet subsampling.py:338-394); rate = stride,
+    right_context 0 (fully chunk-local)."""
+
+    odim: int
+    dtype: jnp.dtype = jnp.float32
+    stride: int = 2
+    subsampling_rate = 2
+    right_context = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, f = x.shape
+        s = self.stride
+        t_trunc = t // s * s
+        y = x[:, :t_trunc].reshape(b, t_trunc // s, f * s)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(y)
+        return nn.Dense(self.odim, dtype=self.dtype, name="out")(y)
+
+    @staticmethod
+    def output_len(t):
+        return t // 2
+
+
 SUBSAMPLE_CLASSES = {
     "linear": LinearNoSubsampling,
+    "conv1d2": Conv1dSubsampling2,
     "conv2d": Conv2dSubsampling4,
     "conv2d6": Conv2dSubsampling6,
     "conv2d8": Conv2dSubsampling8,
+    "stack2": StackNFramesSubsampling,
 }
 
 
@@ -127,10 +178,15 @@ def subsampled_mask(mask: jnp.ndarray, input_layer: str) -> jnp.ndarray:
     """Subsample a [B, 1, T] mask the way wenet slices it (e.g. [2::2][2::2])."""
     if input_layer == "linear":
         return mask
+    if input_layer == "conv1d2":
+        return mask[:, :, ::2]
     if input_layer == "conv2d":
         return mask[:, :, 2::2][:, :, 2::2]
     if input_layer == "conv2d6":
         return mask[:, :, 2::2][:, :, 4::3]
     if input_layer == "conv2d8":
         return mask[:, :, 2::2][:, :, 2::2][:, :, 2::2]
+    if input_layer == "stack2":
+        t = mask.shape[-1]
+        return mask[:, :, 1::2][:, :, : t // 2]
     raise ValueError(input_layer)
