@@ -103,3 +103,42 @@ def test_whisper_tokenizer_roundtrip():
         pytest.skip("tiktoken vocabulary unavailable offline")
     out, _ = tok.detokenize(ids)
     assert out == "hello world"
+
+
+def test_pure_bpe_train_and_roundtrip():
+    """The BPE path executes with zero external deps: train a tiny model
+    in-process, encode/decode round-trips, merges actually fire."""
+    from tpuasr.text.tokenizers_ext import PureBpeTokenizer, train_bpe
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "the dog barks at the quick fox",
+        "lazy dogs and quick foxes",
+    ] * 5
+    model = train_bpe(corpus, vocab_size=60)
+    tok = PureBpeTokenizer(model)
+    assert tok.vocab_size() <= 60
+
+    text = "the quick dog"
+    tokens, ids = tok.tokenize(text)
+    assert tokens and len(ids) == len(tokens)
+    # frequent words compress below character granularity
+    assert len(tokens) < len(text.replace(" ", "")) + text.count(" ") + 1
+    back, toks2 = tok.detokenize(ids)
+    assert back == text
+    assert toks2 == tokens
+
+    # unknown symbols hit <unk>, not a crash
+    ids_unk = tok.tokens2ids(["@@nope@@"])
+    assert ids_unk == [tok.symbol_table["<unk>"]]
+
+    # JSON round-trip (vendorable model file)
+    import json, tempfile, os
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(model, f)
+        path = f.name
+    try:
+        tok2 = PureBpeTokenizer(path)
+        assert tok2.tokenize(text) == tok.tokenize(text)
+    finally:
+        os.unlink(path)

@@ -150,6 +150,11 @@ class ModelConfig:
     # (tpuasr.ops.rnnt_fused_pallas). Standard tanh additive joint only.
     fused_joint_loss: bool = False
     ignore_id: int = -1
+    # pruned RNN-T (k2 s_range semantics, wenet transducer.py:535-545):
+    # > 0 restricts the joint + lattice to a diagonal band of this many label
+    # positions per frame (O(T*s*V) instead of O(T*U*V)); 0 = full lattice.
+    # Standard tanh additive joint only.
+    rnnt_prune_range: int = 0
     ctc_weight: float = 0.3
     transducer_weight: float = 0.7
     ctc_dropout_rate: float = 0.1

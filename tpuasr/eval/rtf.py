@@ -80,9 +80,14 @@ def measure_rtf(
             lambda xs, st: process_chunk(model, params, xs, st, c.blank_id, n_steps)
         )
     elif mode == "beam":
+        # same per-frame emission budget as greedy — round-1 measured beam-4
+        # *faster* than greedy because beam defaulted to one expansion per
+        # frame while greedy ran the <=n_steps while_loop (the RTF-inversion
+        # root cause); matched n_steps makes the modes comparable
         state = init_streaming_beam_state(model, params, b, chunk, left, beam_size)
         step = jax.jit(
-            lambda xs, st: process_chunk_beam(model, params, xs, st, c.blank_id)
+            lambda xs, st: process_chunk_beam(model, params, xs, st, c.blank_id,
+                                              n_steps)
         )
     else:
         raise ValueError(mode)

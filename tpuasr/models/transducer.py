@@ -34,6 +34,18 @@ def build_encoder(enc_cfg, dtype):
     etype = getattr(enc_cfg, "encoder_type", "conformer")
     if etype == "conformer":
         return ConformerEncoder(enc_cfg, dtype, name="encoder")
+    if etype == "firered":
+        # FireRed = conformer stack with the odd padded subsampling and
+        # Transformer-XL rel_shift attention (wenet/firered/, full-context
+        # only — its reference raises on streaming too)
+        import dataclasses
+
+        fc = dataclasses.replace(
+            enc_cfg,
+            input_layer="conv2d_firered",
+            attention_type="firered_rel_pos",
+        )
+        return ConformerEncoder(fc, dtype, name="encoder")
     if etype == "squeezeformer":
         from tpuasr.nn.squeezeformer import SqueezeformerConfig, SqueezeformerEncoder
 
@@ -89,6 +101,8 @@ def encoder_output_len(enc_cfg, encoder, feat_lens):
     etype = getattr(enc_cfg, "encoder_type", "conformer")
     if etype == "efficient_conformer":
         return encoder.output_len(feat_lens)
+    if etype == "firered":
+        return subsampled_len("conv2d_firered", feat_lens)
     return subsampled_len(enc_cfg.input_layer, feat_lens)
 
 
@@ -219,6 +233,29 @@ class Transducer(nn.Module):
 
         ys_in = add_blank(texts, c.blank_id)  # [B, U+1]
         pred_out = self.predictor(ys_in, deterministic=deterministic)  # [B, U+1, P]
+
+        if c.rnnt_prune_range > 0 and not c.joint.hat_joint and not c.joint.postjoin_linear:
+            from tpuasr.losses.rnnt_pruned import rnnt_loss_pruned
+
+            enc_p = self.joint.project_enc(enc_out)
+            pred_p = self.joint.project_pred(pred_out)
+            w, bias = self.joint.head_params()
+            loss_rnnt = rnnt_loss_pruned(
+                enc_p, pred_p, w, bias, texts, enc_lens, text_lens,
+                c.blank_id, s_range=c.rnnt_prune_range, reduction="mean",
+            )
+            loss = c.transducer_weight * loss_rnnt
+            out = {"loss_rnnt": loss_rnnt}
+            if c.ctc_weight > 0:
+                ctc_logits = self.ctc(enc_out, deterministic=deterministic)
+                loss_ctc = ctc_loss_from_logits(
+                    ctc_logits, enc_lens, texts, text_lens, c.blank_id,
+                    "sum_over_batch",
+                )
+                loss = loss + c.ctc_weight * loss_ctc
+                out["loss_ctc"] = loss_ctc
+            out["loss"] = loss
+            return out
 
         if c.fused_joint_loss and not c.joint.hat_joint and not c.joint.postjoin_linear:
             from tpuasr.ops.rnnt_fused_pallas import rnnt_loss_fused_mean

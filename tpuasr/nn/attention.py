@@ -239,3 +239,65 @@ class RopeMultiHeadedAttention(nn.Module):
             attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn, repeat_kv(v, h)).reshape(b, t1, h * dk)
         return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(out), new_cache
+
+
+def rel_shift_bidirectional(x: jnp.ndarray) -> jnp.ndarray:
+    """Transformer-XL relative shift (wenet firered/attention.py:85-104):
+    x [B, H, T, 2T-1] scored against a bidirectional position window
+    (positions T-1 .. -(T-1)) -> [B, H, T, T] where out[..., i, j] picks the
+    entry for relative position i - j."""
+    b, h, t, p = x.shape
+    zero = jnp.zeros((b, h, t, 1), x.dtype)
+    xp = jnp.concatenate([zero, x], axis=-1)  # [B, H, T, P+1]
+    xp = xp.reshape(b, h, p + 1, t)
+    xp = xp[:, :, 1:].reshape(b, h, t, p)
+    return xp[..., : p // 2 + 1]
+
+
+class FireRedRelPositionAttention(nn.Module):
+    """FireRed's Transformer-XL attention (wenet firered/attention.py:58-182):
+    q/k/v LayerNorms before the projections, u/v positional biases, and a
+    *bidirectional* relative position window with rel_shift (unlike the
+    streaming-oriented no-shift formulation used elsewhere in this repo).
+    Full-context only — the reference raises on streaming
+    (firered/attention.py position_encoding NotImplementedError)."""
+
+    n_head: int
+    n_feat: int
+    dropout_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, pos_emb, cache=None, deterministic=True):
+        assert cache is None, "FireRed attention is full-context only"
+        b, t, _ = x.shape
+        h = self.n_head
+        dk = self.n_feat // h
+
+        xq = nn.LayerNorm(dtype=self.dtype, name="layer_norm_q")(x)
+        xk = nn.LayerNorm(dtype=self.dtype, name="layer_norm_k")(x)
+        xv = nn.LayerNorm(dtype=self.dtype, name="layer_norm_v")(x)
+        q = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_q")(xq).reshape(b, t, h, dk)
+        k = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_k")(xk).reshape(b, t, h, dk)
+        v = nn.Dense(self.n_feat, dtype=self.dtype, name="linear_v")(xv).reshape(b, t, h, dk)
+
+        p = nn.Dense(self.n_feat, use_bias=False, dtype=self.dtype, name="linear_pos")(
+            pos_emb
+        ).reshape(pos_emb.shape[0], -1, h, dk)  # [1, 2T-1, H, dk]
+
+        init = nn.initializers.xavier_uniform()
+        u_bias = self.param("pos_bias_u", init, (h, dk))
+        v_bias = self.param("pos_bias_v", init, (h, dk))
+
+        q_u = q + u_bias.astype(q.dtype)[None, None]
+        q_v = q + v_bias.astype(q.dtype)[None, None]
+        ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
+        bd = jnp.einsum("bthd,pshd->bhts", q_v, p)  # [B, H, T, 2T-1]
+        bd = rel_shift_bidirectional(bd)
+        scores = (ac + bd) / math.sqrt(dk)
+
+        attn = masked_softmax(scores, None if mask is None else mask[:, None])
+        if self.dropout_rate > 0:
+            attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(b, t, h * dk)
+        return nn.Dense(self.n_feat, dtype=self.dtype, name="linear_out")(out), None

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from tpuasr.config import EncoderConfig
 from tpuasr.nn.attention import (
+    FireRedRelPositionAttention,
     MultiHeadedAttention,
     RelPositionMultiHeadedAttention,
     RopeMultiHeadedAttention,
@@ -180,6 +181,10 @@ class ConformerBlock(nn.Module):
             self.self_attn = ShawRelPositionMultiHeadedAttention(
                 c.attention_heads, d, c.attention_dropout_rate, self.dtype, name="self_attn"
             )
+        elif att_type == "firered_rel_pos":
+            self.self_attn = FireRedRelPositionAttention(
+                c.attention_heads, d, c.attention_dropout_rate, self.dtype, name="self_attn"
+            )
         elif att_type == "rope":
             self.self_attn = RopeMultiHeadedAttention(
                 c.attention_heads, d, c.attention_dropout_rate, self.dtype,
@@ -306,6 +311,8 @@ class ConformerEncoder(nn.Module):
             ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
             pos_emb = self.pe.rope_window(0, ys.shape[1],
                                           c.output_size // c.attention_heads)
+        elif att_type == "firered_rel_pos":
+            ys, pos_emb = self.pe.rel_bidirectional(ys)
         elif c.pos_enc_layer_type == "rel_pos":
             ys, pos_emb = self.pe.rel(ys, 0)
         elif c.pos_enc_layer_type == "no_pos":
@@ -375,6 +382,10 @@ class ConformerEncoder(nn.Module):
         ys = self.embed(xs)  # [B, chunk, D]
         chunk = ys.shape[1]
         att_type = attention_type_of(c)
+        assert att_type != "firered_rel_pos", (
+            "firered attention is full-context only (reference raises too, "
+            "firered/model.py:50-58)"
+        )
         if att_type == "rope":
             # cached keys carry their own rotation; only the current chunk's
             # absolute angles are needed

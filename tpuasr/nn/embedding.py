@@ -69,6 +69,21 @@ class PositionalEncodingTable:
         pe = self.position_encoding(offset, x.shape[1]).astype(x.dtype)
         return x * jnp.asarray(self.xscale, x.dtype), pe
 
+    def rel_bidirectional(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Transformer-XL bidirectional PE window for rel_shift attention
+        (wenet firered/attention.py:24-55): positions T-1 .. -(T-1) ->
+        (x * xscale, pe [1, 2T-1, d]). sin(-p) = -sin(p), cos(-p) = cos(p),
+        so the negative half reuses the host table with sin lanes negated."""
+        t = x.shape[1]
+        table = jnp.asarray(self.table)
+        pos = table[:t][::-1]  # positions T-1 .. 0
+        neg = table[1:t]  # positions 1 .. T-1 -> negate sin (even) lanes
+        sign = jnp.asarray(
+            np.where(np.arange(self.d_model) % 2 == 0, -1.0, 1.0), table.dtype
+        )
+        pe = jnp.concatenate([pos, neg * sign], axis=0)[None].astype(x.dtype)
+        return x * jnp.asarray(self.xscale, x.dtype), pe
+
     def rope_window(self, offset, size: int, head_dim: int,
                     theta: float = 10000.0):
         """Rotary (cos, sin) tables for positions [offset, offset+size),

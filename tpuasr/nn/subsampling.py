@@ -160,9 +160,37 @@ class StackNFramesSubsampling(nn.Module):
         return t // 2
 
 
+class FireRedConv2dSubsampling4(nn.Module):
+    """FireRed's odd conv2d x4 front-end (wenet firered/subsampling.py:22-74):
+    the input is zero-padded by right_context (6) frames *before* the convs,
+    with fixed 32 conv channels; rate 4, right_context 6."""
+
+    odim: int
+    dtype: jnp.dtype = jnp.float32
+    conv_channels: int = 32
+    subsampling_rate = 4
+    right_context = 6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.pad(x, ((0, 0), (0, self.right_context), (0, 0)))
+        y = x[..., None]
+        y = nn.relu(nn.Conv(self.conv_channels, (3, 3), strides=(2, 2),
+                            padding="VALID", dtype=self.dtype, name="conv1")(y))
+        y = nn.relu(nn.Conv(self.conv_channels, (3, 3), strides=(2, 2),
+                            padding="VALID", dtype=self.dtype, name="conv2")(y))
+        b, t, f, c = y.shape
+        return nn.Dense(self.odim, dtype=self.dtype, name="out")(y.reshape(b, t, f * c))
+
+    @staticmethod
+    def output_len(t):
+        return ((t + 5) // 2 - 1) // 2
+
+
 SUBSAMPLE_CLASSES = {
     "linear": LinearNoSubsampling,
     "conv1d2": Conv1dSubsampling2,
+    "conv2d_firered": FireRedConv2dSubsampling4,
     "conv2d": Conv2dSubsampling4,
     "conv2d6": Conv2dSubsampling6,
     "conv2d8": Conv2dSubsampling8,
@@ -180,6 +208,13 @@ def subsampled_mask(mask: jnp.ndarray, input_layer: str) -> jnp.ndarray:
         return mask
     if input_layer == "conv1d2":
         return mask[:, :, ::2]
+    if input_layer == "conv2d_firered":
+        # firered extends every utterance's valid length by right_context
+        # before subsampling the mask (firered subsampling.py:62-74)
+        t = mask.shape[-1] + 6
+        lens = mask.sum(axis=-1, keepdims=True) + 6  # [B, 1, 1]-ish
+        m = jnp.arange(t)[None, None, :] < lens
+        return m[:, :, :-2:2][:, :, :-2:2]
     if input_layer == "conv2d":
         return mask[:, :, 2::2][:, :, 2::2]
     if input_layer == "conv2d6":

@@ -9,6 +9,9 @@
 - `BpeTokenizer` — sentencepiece-backed (wenet/text/bpe_tokenizer.py); gated:
   raises a clear error if sentencepiece is not installed (absent from this
   image);
+- `PureBpeTokenizer` + `train_bpe` — self-contained merges-based BPE
+  (sentencepiece-style word-boundary marker) with an in-repo trainer, so the
+  BPE path executes with zero external dependencies;
 - `ParaformerTokenizer` — seg-dict lookup tokenizer
   (wenet/text/paraformer_tokenizer.py): longest-match segmentation against a
   word->subunits dictionary.
@@ -165,6 +168,114 @@ class BpeTokenizer(BaseTokenizer):
     @property
     def symbol_table(self):
         return {self.sp.id_to_piece(i): i for i in range(self.vocab_size())}
+
+
+_WB = "▁"  # sentencepiece word-boundary marker
+
+
+def train_bpe(lines: Sequence[str], vocab_size: int,
+              specials: Sequence[str] = ("<unk>",)) -> dict:
+    """Train a byte-pair-encoding model: greedy most-frequent pair merges
+    over whitespace-split words prefixed with the word-boundary marker.
+    Returns {"vocab": [...], "merges": [[a, b], ...]} (JSON-serializable)."""
+    from collections import Counter
+
+    words = Counter()
+    for line in lines:
+        for w in line.strip().split():
+            words[_WB + w] += 1
+    seqs = {w: tuple(w) for w in words}
+
+    vocab = list(specials)
+    seen = set(vocab)
+    for seq in seqs.values():
+        for ch in seq:
+            if ch not in seen:
+                seen.add(ch)
+                vocab.append(ch)
+
+    merges = []
+    while len(vocab) < vocab_size:
+        pairs = Counter()
+        for w, seq in seqs.items():
+            f = words[w]
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (a, b), cnt = pairs.most_common(1)[0]
+        if cnt < 2:
+            break
+        merges.append([a, b])
+        ab = a + b
+        if ab not in seen:
+            seen.add(ab)
+            vocab.append(ab)
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return {"vocab": vocab, "merges": merges}
+
+
+class PureBpeTokenizer(BaseTokenizer):
+    """Dependency-free BPE (wenet/text/bpe_tokenizer.py contract): applies
+    trained merges in rank order to word-boundary-marked words; unknown
+    symbols map to <unk>."""
+
+    def __init__(self, model: dict | str):
+        if isinstance(model, str):
+            import json
+
+            with open(model) as f:
+                model = json.load(f)
+        self._vocab = list(model["vocab"])
+        self._ranks = {tuple(m): i for i, m in enumerate(model["merges"])}
+        self._symbols = {t: i for i, t in enumerate(self._vocab)}
+        self._unk = self._symbols.get("<unk>", 0)
+
+    def _encode_word(self, word: str) -> list[str]:
+        seq = list(_WB + word)
+        while len(seq) > 1:
+            best, best_rank = None, None
+            for i, pair in enumerate(zip(seq, seq[1:])):
+                r = self._ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            seq[best : best + 2] = [seq[best] + seq[best + 1]]
+        return seq
+
+    def text2tokens(self, line: str) -> list[str]:
+        out = []
+        for w in line.strip().split():
+            out.extend(self._encode_word(w))
+        return out
+
+    def tokens2text(self, tokens: Sequence[str]) -> str:
+        return "".join(tokens).replace(_WB, " ").strip()
+
+    def tokens2ids(self, tokens: Sequence[str]) -> list[int]:
+        return [self._symbols.get(t, self._unk) for t in tokens]
+
+    def ids2tokens(self, ids: Sequence[int]) -> list[str]:
+        return [self._vocab[int(i)] for i in ids]
+
+    def vocab_size(self) -> int:
+        return len(self._vocab)
+
+    @property
+    def symbol_table(self) -> dict[str, int]:
+        return dict(self._symbols)
 
 
 class ParaformerTokenizer(BaseTokenizer):
