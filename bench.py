@@ -33,31 +33,6 @@ import time
 import numpy as np
 
 
-def _estimate_train_flops(model, params, batch, feats_t, cfg):
-    """Model FLOPs per optimizer step via jax AOT cost analysis.
-
-    Uses the compiled HLO's own flop count (XLA cost analysis), which
-    covers forward+backward exactly as executed.  Falls back to 0 on any
-    analysis failure (older jax / unsupported backend).
-    """
-    try:
-        import jax
-
-        from tpuasr.train import TrainState, make_optimizer, make_train_step
-
-        tx = make_optimizer(cfg.optim)
-        state = TrainState.create(params, tx)
-        step = make_train_step(model, tx, cfg, donate=False)
-        # pre-compile HLO cost analysis: no device compile, no extra warmup
-        lowered = jax.jit(step).lower(state, batch, jax.random.PRNGKey(0))
-        cost = lowered.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
 def main():
     import jax
 
@@ -98,12 +73,24 @@ def main():
     )
     tx = make_optimizer(cfg.optim)
     state = TrainState.create(params, tx)
-    step = make_train_step(model, tx, cfg, donate=True)
+    step_fn = make_train_step(model, tx, cfg, donate=True)
     rng = jax.random.PRNGKey(1)
 
     audio_seconds = float(np.sum(batch["wave_lens"])) / cfg.feature.sample_rate
 
-    # warmup / compile
+    # AOT-compile once; the executable serves both timing and cost analysis
+    compiled = step_fn.lower(state, batch, rng).compile()
+    flops_per_step = 0.0
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    step = compiled
+
+    # warmup
     for _ in range(2):
         state, metrics = step(state, batch, rng)
     jax.block_until_ready(metrics["loss"])
@@ -121,7 +108,6 @@ def main():
     value = audio_seconds * n_steps / median_dt
 
     # roofline context (stderr only; the JSON line stays the contract)
-    flops_per_step = _estimate_train_flops(model, params, batch, feats_t, cfg)
     step_time = median_dt / n_steps
     dev = jax.devices()[0]
     print(
@@ -132,10 +118,14 @@ def main():
         file=sys.stderr,
     )
     if flops_per_step:
+        # peak bf16 for the chip families this bench runs on (roofline context)
+        peaks = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v6 lite": 918e12}
+        peak = peaks.get(dev.device_kind)
+        mfu = f", MFU ~{flops_per_step / step_time / peak * 100:.1f}%" if peak else ""
         print(
             f"[bench] ~{flops_per_step / 1e9:.1f} GFLOP/step -> "
             f"{flops_per_step / step_time / 1e12:.2f} TFLOP/s achieved "
-            f"on {dev.device_kind}",
+            f"on {dev.device_kind}{mfu}",
             file=sys.stderr,
         )
 

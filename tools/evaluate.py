@@ -20,6 +20,9 @@ def main():
                     default="rnnt_greedy")
     ap.add_argument("--split", choices=["dev", "test"], default="dev")
     ap.add_argument("--beam_size", type=int, default=4)
+    ap.add_argument("--ctc_fusion_weight", type=float, default=0.0,
+                    help="rnnt_beam: per-frame CTC shallow fusion weight "
+                         "(prefix_beam_search.py:99-101 parity)")
     ap.add_argument("--config", default=None)
     ap.add_argument("--set", nargs="*", default=[])
     ap.add_argument("--synthetic", type=int, default=0)
@@ -65,7 +68,8 @@ def main():
     state = restore_checkpoint(args.checkpoint, TrainState.create(params0, tx))
 
     res = evaluate_offline(model, state.params, pipe.batches(0), cfg, tokenizer,
-                           mode=args.mode, beam_size=args.beam_size)
+                           mode=args.mode, beam_size=args.beam_size,
+                           ctc_fusion_weight=args.ctc_fusion_weight)
     c = res.counts
     print(f"CER {100 * c.cer:.2f}%  (S={c.substitutions} D={c.deletions} "
           f"I={c.insertions} N={c.ref_len})")
