@@ -15,8 +15,10 @@ overhead dominated. Here hypothesis state is dense tensors:
 advanced with batched matmuls over B*N lanes and gathered (not copied) on
 beam selection. Per frame: every live hyp proposes `blank` (state frozen) and
 the top-k non-blank extensions (state advanced); identical-prefix candidates
-merge via logaddexp (duplicate detection by exact token-array compare — C x C
-comparisons on-device, C = N * (k + 1)); top-N survive.
+merge via logaddexp. Duplicate detection compares O(1)-updated rolling
+hashes of the token sequences (two independent uint32 streams + length +
+frame phase) — C x C scalar compares, C = N * (k + 1), instead of the
+O(C^2 * Umax) token-array compare; top-N survive.
 
 Emission policy: one non-blank emission per frame (wenet PrefixBeamSearch's
 simplification, prefix_beam_search.py:75-77). RNN-T can in principle emit
@@ -35,17 +37,33 @@ import jax.numpy as jnp
 _NEG = -1.0e30
 
 
+_HASH_MULTS = (1000003, 2654435761)  # two independent rolling-hash streams
+
+
 @dataclass
 class BeamCarry:
     tokens: jnp.ndarray  # [B, N, Umax] int32
     lens: jnp.ndarray  # [B, N] int32
     logp: jnp.ndarray  # [B, N] f32
     pred_state: Any  # ([L, B, N, H], [L, B, N, H])
+    # rolling hashes of the token sequence (uint32 x2), updated in O(1) per
+    # extension; duplicate detection compares hashes instead of U-length
+    # token arrays, dropping the per-frame dedup from O(C^2 * U) to O(C^2)
+    seq_hash: jnp.ndarray  # [B, N, 2] uint32
 
 
 jax.tree_util.register_dataclass(
-    BeamCarry, data_fields=["tokens", "lens", "logp", "pred_state"], meta_fields=[]
+    BeamCarry,
+    data_fields=["tokens", "lens", "logp", "pred_state", "seq_hash"],
+    meta_fields=[],
 )
+
+
+def _extend_hash(h: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
+    """h [..., 2] uint32, tok [...] int32 -> hashes of sequence + [tok]."""
+    t = (tok.astype(jnp.uint32) + jnp.uint32(1))[..., None]
+    mults = jnp.asarray(_HASH_MULTS, jnp.uint32)
+    return h * mults + t
 
 
 def init_beam_carry(model, params, batch: int, beam: int, max_tokens: int) -> BeamCarry:
@@ -59,18 +77,21 @@ def init_beam_carry(model, params, batch: int, beam: int, max_tokens: int) -> Be
         lens=jnp.zeros((batch, beam), jnp.int32),
         logp=logp,
         pred_state=ps,
+        seq_hash=jnp.zeros((batch, beam, 2), jnp.uint32),
     )
 
 
-def _merge_duplicates(tokens, lens, logp):
-    """logaddexp-merge candidates with identical token sequences.
+def _merge_duplicates(keys, lens, logp):
+    """logaddexp-merge candidates with identical sequences.
 
-    tokens [B, C, U], lens [B, C], logp [B, C] -> merged logp with duplicates
-    (non-first occurrences) squashed to -inf.
+    keys [B, C, K] (rolling hashes or any per-candidate signature), lens
+    [B, C] (any extra scalar key, e.g. length + phase), logp [B, C] ->
+    merged logp with duplicates (non-first occurrences) squashed to -inf.
+    O(C^2) pairs with an O(K) compare — K is 2 hash lanes, not Umax.
     """
-    same_tok = jnp.all(tokens[:, :, None, :] == tokens[:, None, :, :], axis=-1)
+    same_tok = jnp.all(keys[:, :, None, :] == keys[:, None, :, :], axis=-1)
     same = same_tok & (lens[:, :, None] == lens[:, None, :])  # [B, C, C]
-    c = tokens.shape[1]
+    c = keys.shape[1]
     idx = jnp.arange(c)
     # first occurrence index for each candidate j
     first = jnp.argmax(same, axis=1)  # [B, C] (first True along i)
@@ -176,6 +197,10 @@ def beam_frames(
         cand_logp = jnp.concatenate(
             [blank_logp[:, :, None], ext_logp], axis=2
         ).reshape(b, n * (1 + k))
+        ext_hash = _extend_hash(carry.seq_hash[:, :, None, :], top_tok)  # [B,N,k,2]
+        cand_hash = jnp.concatenate(
+            [carry.seq_hash[:, :, None, :], ext_hash], axis=2
+        ).reshape(b, n * (1 + k), 2)
         cand_from_hyp = jnp.arange(n)[:, None].repeat(1 + k, 1).reshape(-1)  # [C]
         cand_is_blank = (
             jnp.arange(1 + k)[None, :].repeat(n, 0).reshape(-1) == 0
@@ -186,12 +211,13 @@ def beam_frames(
         # dedup key includes the done flag (same prefix, different frame phase
         # must not merge)
         merged = _merge_duplicates(
-            cand_tokens, cand_lens * 2 + cand_done.astype(cand_lens.dtype), cand_logp
+            cand_hash, cand_lens * 2 + cand_done.astype(cand_lens.dtype), cand_logp
         )
         new_logp, sel = jax.lax.top_k(merged, n)  # [B, N]
 
         sel_tokens = jnp.take_along_axis(cand_tokens, sel[..., None], axis=1)
         sel_lens = jnp.take_along_axis(cand_lens, sel, axis=1)
+        sel_hash = jnp.take_along_axis(cand_hash, sel[..., None], axis=1)
         sel_hyp = cand_from_hyp[sel]  # [B, N] source hyp index
         sel_blank = cand_is_blank[sel]  # [B, N]
         sel_done = jnp.take_along_axis(cand_done, sel, axis=1)
@@ -202,7 +228,7 @@ def beam_frames(
 
         return (
             BeamCarry(tokens=sel_tokens, lens=sel_lens, logp=new_logp,
-                      pred_state=new_state),
+                      pred_state=new_state, seq_hash=sel_hash),
             sel_done,
         )
 
@@ -233,6 +259,7 @@ def beam_frames(
             lens=jnp.where(keep, new_carry.lens, carry.lens),
             logp=jnp.where(keep, new_carry.logp, carry.logp),
             pred_state=where_beam(keep_bn, new_carry.pred_state, carry.pred_state, st_axis),
+            seq_hash=jnp.where(keep[..., None], new_carry.seq_hash, carry.seq_hash),
         )
         return out, None
 
