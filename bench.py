@@ -13,9 +13,10 @@ Protocol (matches the reference corpus protocol, NOT a favourable one):
   - reference training configuration: 12-block d256 causal conformer +
     LSTM predictor + joint, dynamic-chunk training, batch 12
     (rnnt_common.py:7-21).
-  - headline value = median of 5 timing windows (the chip may be
-    time-shared; the spread is reported on stderr as variance, the median
-    is the number of record).
+  - headline value = median of 9 timing windows (the chip is time-shared
+    and window-to-window spread of 3-4x from external tenants is routine;
+    the spread is reported on stderr as variance, the median is the
+    number of record).
 
 `vs_baseline` is the real-time factor (value / 1.0 audio-second per
 second): how many seconds of audio are trained per wall-clock second per
@@ -48,6 +49,9 @@ def main():
     cfg.model.encoder.causal = True
     cfg.model.encoder.use_dynamic_chunk = True
     cfg.model.encoder.static_chunk_size = 32
+    # fused joint+loss Pallas kernel: same loss (tested exact), no [B,T,U,V]
+    # in HBM; measured 1.7x faster than the materialized path at this shape
+    cfg.model.fused_joint_loss = True
 
     batch_size = 12  # reference protocol (rnnt_common.py:9)
     frames = 768  # ~8.2 s per utterance at 48 kHz / hop 512
@@ -97,7 +101,7 @@ def main():
 
     n_steps = 10
     window_dts = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, metrics = step(state, batch, rng)
