@@ -121,3 +121,39 @@ def test_shaw_table_shape():
     model, params = init_model(cfg)
     att0 = params["params"]["encoder"]["block0"]["self_attn"]
     assert att0["rel_k_embed"].shape == (64 + 8 + 1, 8)
+
+
+@pytest.mark.parametrize("pos", ["abs_pos_whisper", "abs_pos_learnable"])
+def test_abs_pe_variants_train_and_stream(pos):
+    """Whisper-style and learnable absolute PE (embedding.py:150-175):
+    trainable and chunk==full under streaming."""
+    cfg = cfg_for("mha", 0, pos)
+    model, params = init_model(cfg)
+    b, t = 2, 131
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((b, t, 80)).astype(np.float32)
+    feat_lens = np.full((b,), t, np.int32)
+    texts = np.ones((b, 5), np.int32) * 7
+    text_lens = np.full((b,), 5, np.int32)
+
+    if pos == "abs_pos_learnable":
+        assert "learned_pe" in params["params"]["encoder"]
+
+    def loss_fn(p):
+        return model.apply(p, feats, feat_lens, texts, text_lens)["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+
+    full, full_lens = model.apply(
+        params, feats, feat_lens,
+        decoding_chunk_size=CHUNK, num_decoding_left_chunks=LEFT,
+        method="encode",
+    )
+    n = num_chunks(t, CHUNK, 4, 6)
+    ys, _ = chunk_stream_encode(model, params, jnp.asarray(feats), CHUNK, LEFT, n)
+    usable = min(int(full_lens[0]), n * CHUNK)
+    np.testing.assert_allclose(
+        np.asarray(ys[:, :usable]), np.asarray(full[:, :usable]),
+        rtol=3e-4, atol=3e-4,
+    )

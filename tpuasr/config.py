@@ -44,7 +44,9 @@ class EncoderConfig:
     positional_dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
     input_layer: str = "conv2d"  # linear | conv2d | conv2d6 | conv2d8
-    pos_enc_layer_type: str = "rel_pos"  # abs_pos | rel_pos | no_pos
+    # abs_pos | rel_pos | no_pos | abs_pos_whisper (concat-sin/cos, xscale 1)
+    # | abs_pos_learnable (whisper-decoder learned table)
+    pos_enc_layer_type: str = "rel_pos"
     # attention zoo (wenet attention.py:29-686): "" derives from
     # pos_enc_layer_type (rel_pos -> rel-bias attention, else plain MHA);
     # explicit: mha | rel_pos | shaw_rel_pos | rope

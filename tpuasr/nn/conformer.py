@@ -277,11 +277,36 @@ class ConformerEncoder(nn.Module):
         c = self.cfg
         self.embed = SUBSAMPLE_CLASSES[c.input_layer](c.output_size, self.dtype, name="embed")
         self.pe = PositionalEncodingTable(c.output_size, c.max_len)
+        if c.pos_enc_layer_type == "abs_pos_learnable":
+            # whisper-decoder-style learned positions (embedding.py:167-175)
+            self.learned_pe = self.param(
+                "learned_pe", nn.initializers.normal(stddev=0.02),
+                (c.max_len, c.output_size),
+            )
         self.blocks = [
             ConformerBlock(c, self.dtype, name=f"block{i}") for i in range(c.num_blocks)
         ]
         self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
         self.pos_dropout = nn.Dropout(c.positional_dropout_rate)
+
+    def _abs_pe_window(self, offset, size):
+        """PE window for the abs-pos variants (xscale-1 families add it
+        directly to the features)."""
+        c = self.cfg
+        if c.pos_enc_layer_type == "abs_pos_whisper":
+            from tpuasr.nn.embedding import whisper_sinusoid_table
+
+            table = jnp.asarray(
+                whisper_sinusoid_table(c.max_len, c.output_size)
+            )
+        elif c.pos_enc_layer_type == "abs_pos_learnable":
+            table = self.learned_pe
+        else:
+            return None
+        if isinstance(offset, int):
+            return table[offset : offset + size][None]
+        idx = jnp.clip(jnp.asarray(offset) + jnp.arange(size), 0, c.max_len - 1)
+        return jnp.take(table, idx, axis=0)[None]
 
     @property
     def subsampling_rate(self) -> int:
@@ -318,6 +343,10 @@ class ConformerEncoder(nn.Module):
         elif c.pos_enc_layer_type == "no_pos":
             ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
             pos_emb = self.pe.position_encoding(0, ys.shape[1])
+        elif c.pos_enc_layer_type in ("abs_pos_whisper", "abs_pos_learnable"):
+            pe = self._abs_pe_window(0, ys.shape[1]).astype(ys.dtype)
+            ys = ys + pe  # xscale 1 (embedding.py:150-175)
+            pos_emb = pe
         else:
             ys, pos_emb = self.pe.add_abs(ys, 0)
         ys = self.pos_dropout(ys, deterministic=deterministic)
@@ -398,6 +427,10 @@ class ConformerEncoder(nn.Module):
         elif c.pos_enc_layer_type == "no_pos":
             ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
             pos_emb = self.pe.position_encoding(state.offset - a, a + chunk).astype(ys.dtype)
+        elif c.pos_enc_layer_type in ("abs_pos_whisper", "abs_pos_learnable"):
+            pe = self._abs_pe_window(state.offset, chunk).astype(ys.dtype)
+            ys = ys + pe
+            pos_emb = pe
         else:
             ys, _ = self.pe.add_abs(ys, state.offset)
             pos_emb = self.pe.position_encoding(state.offset - a, a + chunk).astype(ys.dtype)

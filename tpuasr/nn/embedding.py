@@ -17,6 +17,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def whisper_sinusoid_table(max_len: int, d_model: int, dtype=np.float32) -> np.ndarray:
+    """OpenAI-whisper encoder PE layout: concat(sin, cos) over half-dim
+    timescales, xscale 1 (wenet embedding.py:150-165)."""
+    half = d_model // 2
+    inc = math.log(10000.0) / (half - 1)
+    inv = np.exp(-inc * np.arange(half, dtype=np.float64))
+    scaled = np.arange(max_len, dtype=np.float64)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(dtype)
+
+
 def sinusoid_table(max_len: int, d_model: int, dtype=np.float32) -> np.ndarray:
     """[max_len, d_model]: pe[p, 2i]=sin(p/10000^(2i/d)), pe[p, 2i+1]=cos."""
     position = np.arange(max_len, dtype=np.float64)[:, None]

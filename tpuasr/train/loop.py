@@ -90,9 +90,18 @@ def train_loop(
 
     if step_fn is None:
         tx = make_optimizer(cfg.optim)
+        state_shardings = None
+        zero = getattr(cfg.mesh, "zero_stage", "none")
+        if mesh is not None and zero != "none":
+            # ZeRO-1/3 state sharding over the data axis (fsdp_utils parity)
+            from tpuasr.parallel import shard_train_state, train_state_shardings
+
+            state_shardings = train_state_shardings(state, mesh, zero)
+            state = shard_train_state(state, state_shardings)
         step_fn = make_train_step(
             model, tx, cfg, donate=cfg.train.donate,
             remat=getattr(cfg.model.encoder, 'gradient_checkpointing', False),
+            state_shardings=state_shardings,
         )
     if eval_fn is None:
         eval_fn = make_eval_step(model, cfg)
