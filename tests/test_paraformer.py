@@ -35,7 +35,10 @@ def test_cif_fire_boundary_split():
 
 
 def test_quantity_loss():
-    assert float(quantity_loss(jnp.asarray([3.0, 5.0]), np.array([4, 5]))) == 0.5
+    # sum |pred - tgt| / sum tgt (wenet/paraformer/paraformer.py:188-196)
+    np.testing.assert_allclose(
+        float(quantity_loss(jnp.asarray([3.0, 5.0]), np.array([4, 5]))), 1.0 / 9.0
+    )
 
 
 def test_paraformer_forward_and_decode(rng):
