@@ -78,7 +78,11 @@ def main():
     tx = make_optimizer(cfg.optim)
     state = TrainState.create(params, tx)
     step_fn = make_train_step(model, tx, cfg, donate=True)
-    rng = jax.random.PRNGKey(1)
+    # hardware-RBG dropout keys (tpuasr/utils/rng.py): ~6.4 ms/step cheaper
+    # than the default threefry on this config, same training semantics
+    from tpuasr.utils.rng import root_key
+
+    rng = root_key(1, cfg.train.rng_impl)
 
     audio_seconds = float(np.sum(batch["wave_lens"])) / cfg.feature.sample_rate
 

@@ -102,6 +102,30 @@ def test_data_parallel_matches_single_device(setup):
     )
 
 
+def test_rbg_key_train_step(setup):
+    """The hardware-RBG PRNG (TrainConfig.rng_impl default) drives the same
+    train step: finite loss, DP == single-device (the key is replicated so
+    dropout/chunk masks agree across shards)."""
+    from tpuasr.utils.rng import root_key
+
+    cfg, model, tx, state, batch = setup
+    step = make_train_step(model, tx, cfg, donate=False)
+    rng = root_key(7, "rbg")
+
+    s1, m_single = step(state, batch, rng)
+    assert bool(m_single["finite"])
+    s1, m2 = step(s1, batch, rng)
+    assert np.isfinite(float(m2["loss"]))
+
+    mesh = make_mesh()
+    sharded = shard_batch(batch, mesh)
+    with jax.set_mesh(mesh):
+        _, m_dp = step(state, sharded, rng)
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_plateau_tracker():
     p = PlateauTracker(factor=0.5, patience=2)
     assert p.update(10.0) == 1.0

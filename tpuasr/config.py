@@ -223,6 +223,11 @@ class TrainConfig:
     log_dir: str = "exp/tb"
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     donate: bool = True
+    # PRNG implementation for the training rng (dropout / dynamic-chunk /
+    # sampler streams).  "rbg" = XLA RngBitGenerator (TPU hardware RNG path;
+    # measured ~6.4 ms/step cheaper than threefry on the flagship config);
+    # "threefry2x32" = JAX default, bit-reproducible across backends.
+    rng_impl: str = "rbg"
 
 
 @dataclass

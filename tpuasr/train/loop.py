@@ -21,6 +21,7 @@ from tpuasr.data.pipeline import device_view
 from tpuasr.train.checkpoint import epoch_path, latest_path, save_checkpoint
 from tpuasr.train.metrics import MetricsWriter, StepTimer
 from tpuasr.train.optim import PlateauTracker
+from tpuasr.utils.rng import root_key
 
 
 @dataclass
@@ -115,7 +116,7 @@ def train_loop(
 
         save_yaml(cfg, os.path.join(cfg.train.save_dir, "train.yaml"))
     plateau = PlateauTracker(cfg.optim.plateau_factor, cfg.optim.plateau_patience)
-    rng = jax.random.PRNGKey(cfg.train.seed)
+    rng = root_key(cfg.train.seed, cfg.train.rng_impl)
     timer = StepTimer()
     train_losses, dev_losses = [], []
 
