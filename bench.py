@@ -103,9 +103,17 @@ def main():
         state, metrics = step(state, batch, rng)
     jax.block_until_ready(metrics["loss"])
 
+    # The chip is time-shared and tenancy shifts on a ~minutes scale; windows
+    # taken back-to-back all land in the same tenancy state and the median
+    # becomes a lottery.  Spread 21 windows over ~4.5 minutes (8 s apart) so
+    # the median samples several tenancy states.  The median of all windows
+    # stays the number of record; the top-quartile mean is printed to stderr
+    # as the quiet-chip estimate.
     n_steps = 10
     window_dts = []
-    for _ in range(9):
+    for i in range(21):
+        if i:
+            time.sleep(8.0)
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, metrics = step(state, batch, rng)
@@ -118,10 +126,13 @@ def main():
     # roofline context (stderr only; the JSON line stays the contract)
     step_time = median_dt / n_steps
     dev = jax.devices()[0]
+    quartile = sorted(window_dts)[: max(1, len(window_dts) // 4)]
+    quiet = audio_seconds * n_steps / float(np.mean(quartile))
     print(
         f"[bench] windows audio-s/s: "
         f"{sorted(round(audio_seconds * n_steps / d, 1) for d in window_dts)} "
-        f"(median {value:.1f}); step {step_time * 1e3:.1f} ms, "
+        f"(median {value:.1f}, quiet-chip top-quartile {quiet:.1f}); "
+        f"step {step_time * 1e3:.1f} ms, "
         f"batch {batch_size} x {feats_t} frames @48kHz",
         file=sys.stderr,
     )
