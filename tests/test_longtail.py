@@ -92,17 +92,16 @@ def test_paraformer_tokenizer():
 
 
 def test_whisper_tokenizer_roundtrip():
-    import pytest
-
+    """Executes offline: the registry encoding needs network, but the
+    tokenizer falls back to a merge-free byte-level tiktoken Encoding."""
     from tpuasr.text.tokenizers_ext import WhisperTokenizer
 
     tok = WhisperTokenizer()
-    try:
-        toks, ids = tok.tokenize("hello world")
-    except Exception:
-        pytest.skip("tiktoken vocabulary unavailable offline")
+    toks, ids = tok.tokenize("hello world")
+    assert len(ids) >= 2 and all(isinstance(i, int) for i in ids)
     out, _ = tok.detokenize(ids)
     assert out == "hello world"
+    assert tok.vocab_size() >= 256
 
 
 def test_pure_bpe_train_and_roundtrip():

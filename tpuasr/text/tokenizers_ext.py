@@ -106,8 +106,22 @@ class WhisperTokenizer(BaseTokenizer):
         if self.tokenizer is None:
             import tiktoken
 
-            # whisper's multilingual bpe ranks ship with tiktoken's registry
-            self.tokenizer = tiktoken.get_encoding("gpt2")
+            try:
+                # whisper's bpe ranks come from tiktoken's registry (needs
+                # one-time network access to fetch the rank file)
+                self.tokenizer = tiktoken.get_encoding("gpt2")
+            except Exception:
+                # offline fallback: a merge-free byte-level Encoding (every
+                # byte is a token).  Same tiktoken machinery and API, fully
+                # self-contained — round-trips arbitrary text, so the
+                # tokenizer path stays executable in air-gapped CI.
+                self.tokenizer = tiktoken.Encoding(
+                    name="byte_fallback",
+                    pat_str=r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"""
+                    r"""| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+                    mergeable_ranks={bytes([i]): i for i in range(256)},
+                    special_tokens={},
+                )
         return self.tokenizer
 
     def text2tokens(self, line):
