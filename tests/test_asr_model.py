@@ -179,6 +179,74 @@ def test_bidirectional_decoder_and_rescoring(rng):
     assert np.all(np.isfinite(np.asarray(total)[:, 0]))
 
 
+def test_filter_blank_embedding_matches_loop(rng):
+    """Stable-partition gather must equal the reference's per-utterance
+    index-select + re-pad (wenet asr_model.py:149-175)."""
+    from tpuasr.models.asr_model import filter_blank_embedding
+
+    b, t, d, v, blank = 3, 11, 4, 7, 5
+    lp = rng.standard_normal((b, t, v)).astype(np.float32)
+    enc = rng.standard_normal((b, t, d)).astype(np.float32)
+    lens = np.array([11, 8, 5], np.int32)
+
+    out, out_lens = filter_blank_embedding(
+        jnp.asarray(lp), jnp.asarray(enc), jnp.asarray(lens), blank
+    )
+    out, out_lens = np.asarray(out), np.asarray(out_lens)
+
+    top1 = lp.argmax(-1)
+    for i in range(b):
+        keep = [j for j in range(lens[i]) if top1[i, j] != blank]
+        assert out_lens[i] == len(keep)
+        np.testing.assert_array_equal(out[i, : len(keep)], enc[i, keep])
+        np.testing.assert_array_equal(out[i, len(keep):], 0.0)
+
+
+def test_th_accuracy_value():
+    from tpuasr.models.asr_model import th_accuracy
+
+    logits = np.full((2, 3, 4), -1.0, np.float32)
+    logits[0, 0, 2] = 1.0  # correct
+    logits[0, 1, 0] = 1.0  # wrong
+    logits[1, 0, 1] = 1.0  # correct
+    logits[1, 1, 3] = 1.0  # beyond lens[1]=1: ignored
+    targets = np.array([[2, 3, 0], [1, 0, 0]], np.int32)
+    lens = np.array([2, 1], np.int32)
+    acc = float(th_accuracy(jnp.asarray(logits), targets, lens))
+    np.testing.assert_allclose(acc, 2.0 / 3.0, rtol=1e-6)
+
+
+def test_apply_non_blank_embedding_trains_and_decodes(rng):
+    import dataclasses
+
+    from tpuasr.decode.dispatch import decode_aed
+
+    cfg = dataclasses.replace(_cfg(), apply_non_blank_embedding=True)
+    model = ASRModel(cfg)
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    texts = rng.integers(6, VOCAB, (2, 5)).astype(np.int32)
+    text_lens = np.array([5, 3], np.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens, texts, text_lens)
+
+    def loss_fn(p):
+        return model.apply(p, feats, feat_lens, texts, text_lens)["loss"]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree.reduce(
+        lambda a, x: a + float(np.sum(np.square(x))), grads, 0.0
+    )
+    assert np.isfinite(gnorm) and gnorm > 0.0
+    out = model.apply(params, feats, feat_lens, texts, text_lens)
+    assert 0.0 <= float(out["th_accuracy"]) <= 1.0
+
+    res = decode_aed(model, params, feats, feat_lens,
+                     methods=["attention_rescoring"], beam_size=3, max_tokens=12)
+    tok, lens = res["attention_rescoring"]
+    assert tok.shape[0] == 2 and np.all(np.asarray(lens) >= 0)
+
+
 def test_reverse_padded():
     from tpuasr.models.asr_model import _reverse_padded
 

@@ -141,3 +141,104 @@ def test_pure_bpe_train_and_roundtrip():
         assert tok2.tokenize(text) == tok.tokenize(text)
     finally:
         os.unlink(path)
+
+
+def test_ctc_peak_utils():
+    from tpuasr.decode.alignment import (
+        gen_ctc_peak_time, gen_timestamps_from_peak, replace_duplicates_with_blank,
+    )
+
+    # runs of equal non-blank tokens get a separating blank
+    assert replace_duplicates_with_blank([1, 1, 2, 0, 0, 3, 3, 3], 0) == \
+        [1, 0, 2, 0, 0, 3, 0, 0]
+    # peak time = first frame of each non-blank run
+    assert gen_ctc_peak_time([0, 1, 1, 0, 2, 3, 3, 0], 0) == [1, 4, 5]
+    # timestamps: midpoints between peaks, clamped to half max duration
+    times = gen_timestamps_from_peak([2, 10, 30], max_duration=2.0,
+                                     frame_rate=0.04, max_token_duration=1.0)
+    assert len(times) == 3
+    # token 0: start max(0, 2*.04-.5)=0, end min((2+10)/2*.04, 2*.04+.5)=0.24
+    assert times[0] == (0.0, 0.24)
+    # token 1: start max(0.24, 10*.04-.5)=0.24; end min(0.8, 0.9)=0.8
+    assert times[1] == (0.24, 0.8)
+    # token 2: start max(0.8, 1.2-0.5)=0.8; end min(2.0, 1.7)=1.7
+    assert abs(times[2][0] - 0.8) < 1e-9 and abs(times[2][1] - 1.7) < 1e-9
+
+
+def test_cif_timestamps_from_peaks():
+    from tpuasr.decode.paraformer_beam import cif_timestamps_from_peaks
+
+    # short tail: last token absorbs it
+    t = cif_timestamps_from_peaks([5, 10, 20], num_frames=24, frame_rate=0.02)
+    assert len(t) == 2
+    assert t[0] == (4.5 * 0.02, 9.5 * 0.02)
+    assert t[1] == (9.5 * 0.02, 24 * 0.02)  # 24 - 19.5 = 4.5 <= 5
+    # long tail: split at the midpoint + trailing silence segment
+    t = cif_timestamps_from_peaks([5, 10], num_frames=40, frame_rate=0.02)
+    assert len(t) == 2
+    mid = (40 + 9.5) * 0.5
+    assert t[0] == (4.5 * 0.02, mid * 0.02)
+    assert t[1] == (mid * 0.02, 40 * 0.02)
+    # gap wider than MAX_TOKEN_DURATION is capped (non-final token; the
+    # final token's end is always rewritten by the tail logic)
+    t = cif_timestamps_from_peaks([2, 30, 40], num_frames=41, frame_rate=0.02)
+    assert abs((t[0][1] - t[0][0]) - 14 * 0.02) < 1e-9
+
+
+def test_beautify_result():
+    from tpuasr.text.beautify import beautify_result
+
+    # all CJK: plain concatenation
+    assert beautify_result(["你", "好", "吗"]) == "你好吗"
+    # all alpha with @@ BPE continuation: words merge, space-separated
+    assert beautify_result(["HE@@", "LLO", "WORLD"]) == "HELLO WORLD"
+    # mixed: CJK directly after an English word absorbs the space
+    assert beautify_result(["你", "HE@@", "LLO", "好"]) == "你HELLO好"
+    # specials are dropped
+    assert beautify_result(["<sos>", "你", "<blank>", "好", "<eos>"]) == "你好"
+
+
+def test_cmvn_wenet_format_loaders(tmp_path):
+    import json as _json
+
+    import numpy as np
+
+    from tpuasr.audio.cmvn import load_cmvn_json_stats, load_cmvn_kaldi
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((50, 4)).astype(np.float64) * 3 + 1
+    mean_stat = feats.sum(0)
+    var_stat = (feats * feats).sum(0)
+    n = feats.shape[0]
+    want_mean = feats.mean(0)
+    want_istd = 1.0 / np.sqrt(feats.var(0))
+
+    jpath = tmp_path / "cmvn.json"
+    jpath.write_text(_json.dumps({
+        "mean_stat": mean_stat.tolist(), "var_stat": var_stat.tolist(),
+        "frame_num": n,
+    }))
+    mean, istd = load_cmvn_json_stats(str(jpath))
+    np.testing.assert_allclose(mean, want_mean, rtol=1e-5)
+    np.testing.assert_allclose(istd, want_istd, rtol=1e-4)
+
+    kpath = tmp_path / "cmvn.ark"
+    body = " ".join(str(x) for x in mean_stat) + f" {n} " + \
+        " ".join(str(x) for x in var_stat) + " 0"
+    kpath.write_text(f"[ {body} ]")
+    mean, istd = load_cmvn_kaldi(str(kpath))
+    np.testing.assert_allclose(mean, want_mean, rtol=1e-5)
+    np.testing.assert_allclose(istd, want_istd, rtol=1e-4)
+
+
+def test_tokenize_mixed_cjk_split():
+    from tpuasr.text.tokenizers_ext import ParaformerTokenizer, tokenize_mixed
+
+    # CJK chars split out of a mixed string, non-CJK runs hit the encoder
+    got = tokenize_mixed("你好IT'S OK的", lambda run: run.split(), upper=True)
+    assert got == ["你", "好", "IT'S", "OK", "的"]
+
+    # ParaformerTokenizer: seg-dict words expand inside mixed text
+    sym = {"<unk>": 0, "ni": 1, "hao": 2, "你": 3, "好": 4, "OK": 5}
+    tok = ParaformerTokenizer(sym, seg_dict={"nihao": "ni hao"})
+    assert tok.text2tokens("你nihao好 OK") == ["你", "ni", "hao", "好", "OK"]

@@ -57,3 +57,43 @@ def load_cmvn(path: str):
     with open(path) as f:
         d = json.load(f)
     return np.asarray(d["mean"], np.float32), np.asarray(d["istd"], np.float32)
+
+
+def _stats_to_mean_istd(mean_stat, var_stat, frame_num):
+    mean = np.asarray(mean_stat, np.float64) / frame_num
+    var = np.asarray(var_stat, np.float64) / frame_num - mean * mean
+    var = np.maximum(var, 1e-20)
+    return mean.astype(np.float32), (1.0 / np.sqrt(var)).astype(np.float32)
+
+
+def load_cmvn_json_stats(path: str):
+    """wenet json-format accumulated stats -> (mean, istd)
+    (wenet/utils/cmvn.py:21-43: keys mean_stat / var_stat / frame_num)."""
+    with open(path) as f:
+        stats = json.load(f)
+    return _stats_to_mean_istd(
+        stats["mean_stat"], stats["var_stat"], float(stats["frame_num"])
+    )
+
+
+def load_cmvn_kaldi(path: str):
+    """kaldi text-format global cmvn (`compute-cmvn-stats --binary=false`)
+    -> (mean, istd) (wenet/utils/cmvn.py:46-85).
+
+    Layout: `[ m_1 .. m_F count  v_1 .. v_F 0 ]` — accumulated sums, the
+    frame count after the means, a trailing zero after the variances."""
+    with open(path, "rb") as f:
+        if f.read(2) == b"\0B":
+            raise ValueError(
+                "kaldi binary cmvn is not supported; recompute with "
+                "compute-cmvn-stats --binary=false"
+            )
+    with open(path) as f:
+        arr = f.read().split()
+    if arr[0] != "[" or arr[-1] != "]" or arr[-2] != "0":
+        raise ValueError(f"not a kaldi text cmvn file: {path}")
+    feat_dim = (len(arr) - 4) // 2
+    mean_stat = [float(x) for x in arr[1 : 1 + feat_dim]]
+    frame_num = float(arr[1 + feat_dim])
+    var_stat = [float(x) for x in arr[2 + feat_dim : 2 + 2 * feat_dim]]
+    return _stats_to_mean_istd(mean_stat, var_stat, frame_num)

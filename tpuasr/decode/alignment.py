@@ -109,3 +109,61 @@ def token_timestamps(alignment, blank: int):
             prev = a
         out.append(times)
     return out
+
+
+def replace_duplicates_with_blank(hyp, blank_id: int = 0):
+    """Separate repeated tokens with a blank so a frame alignment stays
+    CTC-decodable (wenet ctc_utils.py:36-49)."""
+    out = []
+    cur = 0
+    n = len(hyp)
+    while cur < n:
+        out.append(int(hyp[cur]))
+        prev = cur
+        cur += 1
+        while cur < n and hyp[cur] == hyp[prev] and hyp[cur] != blank_id:
+            out.append(blank_id)
+            cur += 1
+    return out
+
+
+def gen_ctc_peak_time(hyp, blank_id: int = 0):
+    """Frame index of each run's first frame, blanks skipped
+    (wenet ctc_utils.py:51-61)."""
+    times = []
+    cur = 0
+    n = len(hyp)
+    while cur < n:
+        if hyp[cur] != blank_id:
+            times.append(cur)
+        prev = cur
+        while cur < n and hyp[cur] == hyp[prev]:
+            cur += 1
+    return times
+
+
+def gen_timestamps_from_peak(
+    peaks,
+    max_duration: float,
+    frame_rate: float = 0.04,
+    max_token_duration: float = 1.0,
+):
+    """(start, end) seconds per token from CTC peak frames: boundaries at the
+    midpoint between neighbouring peaks, clamped to max_token_duration/2 on
+    each side (wenet ctc_utils.py:63-93)."""
+    times = []
+    half = max_token_duration / 2
+    n = len(peaks)
+    for i in range(n):
+        if i == 0:
+            start = max(0.0, peaks[0] * frame_rate - half)
+        else:
+            start = max((peaks[i - 1] + peaks[i]) / 2 * frame_rate,
+                        peaks[i] * frame_rate - half)
+        if i == n - 1:
+            end = min(max_duration, peaks[-1] * frame_rate + half)
+        else:
+            end = min((peaks[i] + peaks[i + 1]) / 2 * frame_rate,
+                      peaks[i] * frame_rate + half)
+        times.append((start, end))
+    return times

@@ -59,8 +59,16 @@ def decode_aed(
         results["attention"] = (tok, lens)
     if "attention_rescoring" in methods:
         nb_tok, nb_len, nb_score = nbest
+        r_enc, r_lens = enc, enc_lens
+        if getattr(cfg, "apply_non_blank_embedding", False):
+            # rescore over the blank-filtered frames the decoder was trained
+            # on (asr_model.py:332-334; updated lengths used, see
+            # filter_blank_embedding)
+            from tpuasr.models.asr_model import filter_blank_embedding
+
+            r_enc, r_lens = filter_blank_embedding(lp, enc, enc_lens, cfg.blank_id)
         tok, lens, _ = attention_rescoring(
-            model, params, enc, enc_lens, nb_tok, nb_len, nb_score, ctc_weight
+            model, params, r_enc, r_lens, nb_tok, nb_len, nb_score, ctc_weight
         )
         results["attention_rescoring"] = (tok, lens)
     return results

@@ -55,3 +55,32 @@ def nar_beam_search(
 
     (scores, tokens), _ = jax.lax.scan(step, (scores, tokens), jnp.arange(1, u))
     return tokens, scores
+
+
+def cif_timestamps_from_peaks(peaks, num_frames: int, frame_rate: float = 0.02):
+    """(start, end) seconds per token from CIF fire positions (wenet
+    paraformer/search.py:113-136).
+
+    Each fire is shifted back half a frame; a token spans fire[i]..fire[i+1]
+    capped at MAX_TOKEN_DURATION frames. If the audio tail after the last
+    fire exceeds START_END_THRESHOLD frames, the last token ends at the
+    midpoint and a trailing silence segment is appended."""
+    START_END_THRESHOLD = 5
+    MAX_TOKEN_DURATION = 14
+    fires = [p - 0.5 for p in peaks]
+    times = []
+    for i in range(len(fires) - 1):
+        start = fires[i]
+        if fires[i + 1] - fires[i] <= MAX_TOKEN_DURATION:
+            end = fires[i + 1]
+        else:
+            end = fires[i] + MAX_TOKEN_DURATION
+        times.append([start * frame_rate, end * frame_rate])
+    if times:
+        if num_frames - fires[-1] > START_END_THRESHOLD:
+            mid = (num_frames + fires[-1]) * 0.5
+            times[-1][1] = mid * frame_rate
+            times.append([mid * frame_rate, num_frames * frame_rate])
+        else:
+            times[-1][1] = num_frames * frame_rate
+    return [tuple(t) for t in times]

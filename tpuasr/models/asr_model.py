@@ -42,8 +42,50 @@ class AEDConfig:
     # both directions' scores.
     r_decoder_blocks: int = 0
     reverse_weight: float = 0.3
+    # feed the attention decoder only the frames whose CTC argmax is
+    # non-blank (wenet apply_non_blank_embedding, asr_model.py:107-111);
+    # requires ctc_weight > 0
+    apply_non_blank_embedding: bool = False
     compute_dtype: str = "float32"
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
+
+
+def filter_blank_embedding(
+    ctc_log_probs: jnp.ndarray,  # [B, T, V] (any monotone score works)
+    enc_out: jnp.ndarray,  # [B, T, D]
+    enc_lens: jnp.ndarray,  # [B]
+    blank_id: int,
+):
+    """Drop frames whose CTC argmax is blank (wenet filter_blank_embedding,
+    asr_model.py:149-175).
+
+    TPU-native formulation: the reference builds per-utterance Python index
+    lists and re-pads; here a stable-partition gather moves the kept frames
+    to the front in order — shapes stay static, only the returned lengths
+    shrink.  The vacated tail is zeroed.  Unlike the reference decode path
+    (asr_model.py:332-334, which discards the new mask), the updated lengths
+    are returned and must be used downstream."""
+    top1 = jnp.argmax(ctc_log_probs, axis=-1)  # [B, T]
+    t = enc_out.shape[1]
+    pos = jnp.arange(t)[None, :]
+    keep = (top1 != blank_id) & (pos < enc_lens[:, None])
+    # stable argsort of the drop flag: kept frames first, original order
+    order = jnp.argsort(jnp.where(keep, 0, 1), axis=1, stable=True)
+    new_out = jnp.take_along_axis(enc_out, order[..., None], axis=1)
+    new_lens = jnp.sum(keep, axis=1).astype(enc_lens.dtype)
+    new_out = jnp.where((pos < new_lens[:, None])[..., None], new_out, 0)
+    return new_out, new_lens
+
+
+def th_accuracy(logits: jnp.ndarray, targets: jnp.ndarray,
+                lens: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced token accuracy over the valid positions (wenet
+    th_accuracy, utils/common.py:269-289; valid = pos < lens instead of the
+    reference's ignore-id padding)."""
+    pred = jnp.argmax(logits, axis=-1)
+    valid = jnp.arange(targets.shape[1])[None, :] < lens[:, None]
+    correct = jnp.sum(jnp.where(valid, pred == targets, False))
+    return correct / jnp.maximum(jnp.sum(valid), 1)
 
 
 def _reverse_padded(tokens: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
@@ -118,6 +160,22 @@ class ASRModel(nn.Module):
         c = self.cfg
         enc_out, enc_lens = self.encode(feats, feat_lens, deterministic, chunk_rng)
 
+        # CTC branch first: its activations gate the attention branch's
+        # input when apply_non_blank_embedding is set (asr_model.py:99-111)
+        ctc_logits = self.ctc_lo(enc_out)
+        loss_ctc = ctc_loss_from_logits(
+            ctc_logits, enc_lens, texts, text_lens, c.blank_id,
+            "sum_over_batch",
+        )
+        att_enc, att_lens = enc_out, enc_lens
+        if c.apply_non_blank_embedding:
+            assert c.ctc_weight != 0.0, (
+                "apply_non_blank_embedding requires a trained CTC head"
+            )
+            att_enc, att_lens = filter_blank_embedding(
+                ctc_logits, enc_out, enc_lens, c.blank_id
+            )
+
         # attention branch: <sos> y -> y <eos>
         b, u = texts.shape
         sos = jnp.full((b, 1), c.sos_id, texts.dtype)
@@ -126,24 +184,24 @@ class ASRModel(nn.Module):
         eos_slot = u_idx == text_lens[:, None]
         ys_out = jnp.concatenate([texts, jnp.zeros((b, 1), texts.dtype)], axis=1)
         ys_out = jnp.where(eos_slot, c.eos_id, ys_out)
-        dec_logits = self.decoder(enc_out, enc_lens, ys_in, text_lens + 1, deterministic)
+        dec_logits = self.decoder(att_enc, att_lens, ys_in, text_lens + 1, deterministic)
         loss_att = label_smoothing_loss(dec_logits, ys_out, text_lens + 1, c.lsm_weight)
+        acc_att = jax.lax.stop_gradient(
+            th_accuracy(dec_logits, ys_out, text_lens + 1)
+        )
         if c.r_decoder_blocks > 0 and c.reverse_weight > 0:
             r_texts = _reverse_padded(texts, text_lens)
             r_ys_in = jnp.concatenate([sos, r_texts], axis=1)
             r_ys_out = jnp.concatenate([r_texts, jnp.zeros((b, 1), texts.dtype)], axis=1)
             r_ys_out = jnp.where(eos_slot, c.eos_id, r_ys_out)
-            r_logits = self.r_decoder(enc_out, enc_lens, r_ys_in, text_lens + 1,
+            r_logits = self.r_decoder(att_enc, att_lens, r_ys_in, text_lens + 1,
                                       deterministic)
             loss_r = label_smoothing_loss(r_logits, r_ys_out, text_lens + 1, c.lsm_weight)
             loss_att = (1.0 - c.reverse_weight) * loss_att + c.reverse_weight * loss_r
 
-        loss_ctc = ctc_loss_from_logits(
-            self.ctc_lo(enc_out), enc_lens, texts, text_lens, c.blank_id,
-            "sum_over_batch",
-        )
         loss = c.ctc_weight * loss_ctc + (1.0 - c.ctc_weight) * loss_att
-        return {"loss": loss, "loss_ctc": loss_ctc, "loss_att": loss_att}
+        return {"loss": loss, "loss_ctc": loss_ctc, "loss_att": loss_att,
+                "th_accuracy": acc_att}
 
 
 def attention_rescoring(

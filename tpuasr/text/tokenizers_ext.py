@@ -165,7 +165,10 @@ class BpeTokenizer(BaseTokenizer):
         self.sp.load(bpe_model)
 
     def text2tokens(self, line):
-        return self.sp.encode_as_pieces(line)
+        # wenet tokenize_by_bpe_model: CJK chars single, uppercase BPE runs
+        return tokenize_mixed(
+            line.strip(), self.sp.encode_as_pieces, upper=True
+        )
 
     def tokens2text(self, tokens):
         return self.sp.decode_pieces(list(tokens))
@@ -269,11 +272,17 @@ class PureBpeTokenizer(BaseTokenizer):
             seq[best : best + 2] = [seq[best] + seq[best + 1]]
         return seq
 
-    def text2tokens(self, line: str) -> list[str]:
+    def _encode_run(self, run: str) -> list[str]:
         out = []
-        for w in line.strip().split():
+        for w in run.split():
             out.extend(self._encode_word(w))
         return out
+
+    def text2tokens(self, line: str) -> list[str]:
+        # CJK characters pass through as single tokens, BPE covers the rest
+        # (wenet tokenize_by_bpe_model; no upper() — models here are trained
+        # in-process on the corpus's own case, unlike wenet's uppercase sp)
+        return tokenize_mixed(line.strip(), self._encode_run, upper=False)
 
     def tokens2text(self, tokens: Sequence[str]) -> str:
         return "".join(tokens).replace(_WB, " ").strip()
@@ -292,6 +301,25 @@ class PureBpeTokenizer(BaseTokenizer):
         return dict(self._symbols)
 
 
+_CJK_RE = __import__("re").compile(r"([一-鿿])")
+
+
+def tokenize_mixed(txt: str, encode_non_cjk, upper: bool = True) -> list[str]:
+    """Mixed CJK/English tokenization: CJK characters become single tokens,
+    every maximal non-CJK run is handed to `encode_non_cjk` (BPE pieces or
+    seg-dict expansion) (wenet/text/tokenize_utils.py:18-65)."""
+    tokens: list[str] = []
+    chars = _CJK_RE.split(txt.upper() if upper else txt)
+    for piece in chars:
+        if not piece.strip():
+            continue
+        if _CJK_RE.fullmatch(piece):
+            tokens.append(piece)
+        else:
+            tokens.extend(encode_non_cjk(piece))
+    return tokens
+
+
 class ParaformerTokenizer(BaseTokenizer):
     """Seg-dict tokenizer: words map to space-separated subunit sequences;
     unseen CJK text falls back to per-character units."""
@@ -302,14 +330,17 @@ class ParaformerTokenizer(BaseTokenizer):
         self.seg_dict = seg_dict or {}
         self.unk = "<unk>"
 
-    def text2tokens(self, line):
+    def _encode_run(self, run: str) -> list[str]:
         out = []
-        for word in line.strip().split():
+        for word in run.split():
             if word in self.seg_dict:
                 out.extend(self.seg_dict[word].split())
             else:
-                out.extend(list(word))
+                out.append(word)
         return out
+
+    def text2tokens(self, line):
+        return tokenize_mixed(line.strip(), self._encode_run, upper=False)
 
     def tokens2text(self, tokens):
         return "".join(tokens)

@@ -127,7 +127,7 @@ def make_train_step(
             "finite": finite,
             "audio_seconds": jnp.sum(batch["wave_lens"]) / cfg.feature.sample_rate,
         }
-        for k in ("loss_rnnt", "loss_ctc"):
+        for k in ("loss_rnnt", "loss_ctc", "loss_att", "th_accuracy"):
             if k in out:
                 metrics[k] = out[k]
         return new_state, metrics
