@@ -189,3 +189,40 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     state3, m = step(restored, batch, jax.random.PRNGKey(0))
     assert bool(m["finite"])
     assert int(state3.step) == int(state2.step) + 1
+
+
+def test_train_loop_step_interval_cv(tmp_path):
+    """save_interval > 0 runs an in-epoch CV pass and writes step-tagged
+    checkpoints (wenet executor.py:93-116 parity)."""
+    from tpuasr.data.corpus import synthetic_pipeline
+    from tpuasr.train.loop import train_loop
+
+    cfg = tiny_config()
+    cfg.data.batch_size = 4
+    cfg.train.save_interval = 2
+    cfg.train.save_every_epochs = 1
+    cfg.train.log_every = 1
+    cfg.train.save_dir = str(tmp_path / "exp")
+    cfg.train.log_dir = str(tmp_path / "tb")
+
+    model = Transducer(cfg.model)
+    train_pipe = synthetic_pipeline(cfg, 8, seed=0)
+    dev_pipe = synthetic_pipeline(cfg, 4, seed=1)
+    first = next(iter(train_pipe.batches(0)))
+    feats_t = 1 + first["waves"].shape[1] // cfg.feature.hop_length
+    b = first["waves"].shape[0]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((b, feats_t, 80), np.float32), np.full((b,), feats_t, np.int32),
+        first["texts"], first["text_lens"],
+    )
+    tx = make_optimizer(cfg.optim)
+    state = TrainState.create(params, tx)
+    result = train_loop(cfg, model, state, train_pipe, dev_pipe, epochs=1)
+
+    assert int(result.state.step) >= 2
+    import os
+    step_ckpts = [d for d in os.listdir(cfg.train.save_dir) if d.startswith("step_")]
+    assert step_ckpts, os.listdir(cfg.train.save_dir)
+    log = open(os.path.join(cfg.train.save_dir, "log.txt")).read()
+    assert "cv_loss" in log

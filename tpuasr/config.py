@@ -219,6 +219,9 @@ class TrainConfig:
     seed: int = 2026
     log_every: int = 50
     save_every_epochs: int = 5
+    # step-interval cross-validation + checkpoint inside the epoch (wenet
+    # executor.py:93-116 save_interval); 0 = per-epoch only
+    save_interval: int = 0
     save_dir: str = "exp"
     log_dir: str = "exp/tb"
     dtype: str = "bfloat16"  # compute dtype; params stay float32

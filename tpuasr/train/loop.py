@@ -32,7 +32,7 @@ class LoopResult:
 
 
 def run_epoch(step_fn, state, batches: Iterable[dict], rng, writer: MetricsWriter,
-              cfg: Config, timer: StepTimer, epoch: int, mesh=None):
+              cfg: Config, timer: StepTimer, epoch: int, mesh=None, cv_hook=None):
     losses = []
     for batch in batches:
         db = device_view(batch)
@@ -45,6 +45,11 @@ def run_epoch(step_fn, state, batches: Iterable[dict], rng, writer: MetricsWrite
         losses.append(loss)
         timer.tick(float(metrics["audio_seconds"]))
         step = int(state.step)
+        if cv_hook is not None and cfg.train.save_interval > 0 \
+                and step % cfg.train.save_interval == 0:
+            # step-interval CV + checkpoint inside the epoch
+            # (wenet executor.py:93-116)
+            cv_hook(state, epoch, step)
         if step % cfg.train.log_every == 0:
             writer.scalars(
                 {k: v for k, v in metrics.items() if k.startswith("loss") or k == "grad_norm"},
@@ -120,11 +125,26 @@ def train_loop(
     timer = StepTimer()
     train_losses, dev_losses = [], []
 
+    cv_hook = None
+    if cfg.train.save_interval > 0 and dev_pipeline is not None:
+        def cv_hook(cur_state, epoch, step):
+            cv_loss = run_eval(eval_fn, cur_state, dev_pipeline.batches(epoch),
+                               rng, mesh)
+            writer.scalar("cv/loss", cv_loss, step)
+            writer.log(f"epoch {epoch} step {step} cv_loss {cv_loss:.4f}")
+            if jax.process_index() == 0 and cfg.train.save_dir:
+                os.makedirs(cfg.train.save_dir, exist_ok=True)
+                save_checkpoint(
+                    os.path.join(cfg.train.save_dir, f"step_{step}"),
+                    cur_state,
+                    {"epoch": epoch, "step": step, "cv_loss": cv_loss},
+                )
+
     n_epochs = epochs if epochs is not None else cfg.train.epochs
     for epoch in range(n_epochs):
         state, train_loss = run_epoch(
             step_fn, state, train_pipeline.batches(epoch), rng, writer, cfg, timer,
-            epoch, mesh,
+            epoch, mesh, cv_hook,
         )
         train_losses.append(train_loss)
         msg = f"epoch {epoch} train_loss {train_loss:.4f}"
