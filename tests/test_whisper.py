@@ -152,3 +152,34 @@ def test_overfit_one_batch():
         first = float(loss) if first is None else first
         last = float(loss)
     assert last < first * 0.8, (first, last)
+
+
+def test_beam_decode_prompt_conditioned(model_and_params):
+    """whisper_beam_decode runs; beam-1 equals greedy (same argmax chain)."""
+    from tpuasr.models.whisper import whisper_beam_decode
+
+    cfg, model, params = model_and_params
+    b, t = 2, 67
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((b, t, 80)).astype(np.float32)
+    feat_lens = np.full((b,), t, np.int32)
+    enc, enc_lens = model.apply(params, feats, feat_lens, method="encode")
+    langs = jnp.zeros((b,), jnp.int32)
+    tasks = jnp.full((b,), TASK_TRANSCRIBE, jnp.int32)
+
+    g_tok, g_len = whisper_greedy_decode(
+        model, params, enc, enc_lens, langs, tasks, max_tokens=8)
+    b_tok, b_len, scores = whisper_beam_decode(
+        model, params, enc, enc_lens, langs, tasks, beam_size=1, max_tokens=8)
+    np.testing.assert_array_equal(np.asarray(g_len), np.asarray(b_len))
+    for i in range(b):
+        np.testing.assert_array_equal(
+            np.asarray(g_tok[i, : int(g_len[i])]),
+            np.asarray(b_tok[i, : int(b_len[i])]),
+        )
+
+    # wider beam: runs, finite scores, task conditioning changes the result
+    b4_tok, b4_len, scores4 = whisper_beam_decode(
+        model, params, enc, enc_lens, langs, tasks, beam_size=4, max_tokens=8,
+        length_penalty=0.5)
+    assert np.all(np.isfinite(np.asarray(scores4)[:, 0]))

@@ -3,7 +3,9 @@
 Parity: wenet/transformer/search.py:250-366 (`attention_beam_search`) — B x N
 beam over the attention decoder with per-layer KV caches reindexed on beam
 selection, eos-finished hypotheses frozen, running until all beams finish or
-`max_len` steps.
+`max_len` steps. Supports a forced prompt prefix (the whisper
+sot/lang/task/no-timestamps grammar, search.py:265-279) and the final
+length-penalty normalization `score / len^alpha` (search.py:352-355).
 
 TPU design: preallocated [L, B*N, Lmax, H, dk] self-attention cache buffers
 written at the step index; cross-attention K/V projected once; beam
@@ -20,7 +22,7 @@ _NEG = -1.0e30
 
 
 def attention_beam_search(
-    model,  # ASRModel (unbound)
+    model,  # ASRModel / WhisperModel (unbound)
     params,
     enc_out: jnp.ndarray,  # [B, T, D]
     enc_lens: jnp.ndarray,  # [B]
@@ -28,14 +30,17 @@ def attention_beam_search(
     eos_id: int,
     beam_size: int = 10,
     max_len: int = 64,
+    prompt: jnp.ndarray | None = None,  # [B, P] forced prefix (default [sos])
+    length_penalty: float = 0.0,
 ):
-    """-> (best tokens [B, max_len] (no sos/eos), best lens [B],
+    """-> (best tokens [B, max_len] (no prompt/eos), best lens [B],
            nbest scores [B, N])."""
     b, t, d = enc_out.shape
     n = beam_size
-
-    def dec(fn_name):
-        return lambda *a: model.apply(params, *a, method=fn_name)
+    if prompt is None:
+        prompt = jnp.full((b, 1), sos_id, jnp.int32)
+    p = prompt.shape[1]
+    lmax = p + max_len
 
     # expand memory to B*N
     mem = jnp.repeat(enc_out, n, axis=0)
@@ -43,13 +48,33 @@ def attention_beam_search(
     mem_mask = (jnp.arange(t)[None, :] < mem_lens[:, None])[:, None, :]  # [BN,1,T]
 
     mem_k, mem_v = model.apply(params, mem, method="decoder_project_memory")
-    kcache, vcache = model.apply(params, b * n, max_len + 1, method="decoder_init_cache")
+    kcache, vcache = model.apply(params, b * n, lmax, method="decoder_init_cache")
 
-    tokens = jnp.full((b, n, max_len + 1), eos_id, jnp.int32)
-    tokens = tokens.at[:, :, 0].set(sos_id)
+    tokens = jnp.full((b, n, lmax), eos_id, jnp.int32)
+    tokens = jnp.where(
+        jnp.arange(lmax)[None, None, :] < p,
+        jnp.pad(prompt, ((0, 0), (0, max_len)))[:, None, :],
+        tokens,
+    )
     scores = jnp.full((b, n), _NEG).at[:, 0].set(0.0)
     finished = jnp.zeros((b, n), bool)
     lens = jnp.zeros((b, n), jnp.int32)
+
+    # prefill the prompt prefix through the AR cache (all beams identical;
+    # the last prompt position is consumed by the first beam step below)
+    if p > 1:
+        def prefill(carry, i):
+            kc, vc = carry
+            cur = jnp.repeat(prompt[:, i], n, axis=0)  # [B*N]
+            _, kc, vc = model.apply(
+                params, cur, i, kc, vc, mem_k, mem_v, mem_mask,
+                method="decoder_one_step",
+            )
+            return (kc, vc), None
+
+        (kcache, vcache), _ = jax.lax.scan(
+            prefill, (kcache, vcache), jnp.arange(p - 1)
+        )
 
     def step(carry, pos):
         tokens, scores, finished, lens, kcache, vcache = carry
@@ -84,9 +109,9 @@ def attention_beam_search(
         kcache = reindex(kcache)
         vcache = reindex(vcache)
 
-        write_pos = jnp.minimum(pos + 1, max_len)
+        write_pos = jnp.minimum(pos + 1, lmax - 1)
         tokens = jnp.where(
-            (jnp.arange(max_len + 1)[None, None, :] == write_pos),
+            (jnp.arange(lmax)[None, None, :] == write_pos),
             sel_tok[..., None],
             tokens,
         )
@@ -95,11 +120,17 @@ def attention_beam_search(
         return (tokens, new_scores, now_finished, lens, kcache, vcache), None
 
     carry = (tokens, scores, finished, lens, kcache, vcache)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_len))
+    carry, _ = jax.lax.scan(step, carry, (p - 1) + jnp.arange(max_len))
     tokens, scores, finished, lens, _, _ = carry
 
+    if length_penalty != 0.0:
+        # search.py:352-355: score / (#non-eos tokens)^alpha; the reference's
+        # count includes the prompt prefix, reproduced here
+        scores = scores / jnp.power(
+            jnp.maximum(lens + p, 1).astype(scores.dtype), length_penalty
+        )
     best = jnp.argmax(scores, axis=1)
-    best_tokens = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0, 1:]
+    best_tokens = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0, p:]
     best_lens = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
     # strip anything after the first eos (tokens buffer is eos-padded)
     valid = jnp.arange(max_len)[None, :] < best_lens[:, None]

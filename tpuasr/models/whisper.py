@@ -229,3 +229,28 @@ def whisper_greedy_decode(
     )
     lens = jnp.sum(emits.astype(jnp.int32), axis=0)
     return tokens, lens
+
+
+def whisper_beam_decode(
+    model: WhisperModel,
+    params,
+    enc_out: jnp.ndarray,  # [B, T, D]
+    enc_lens: jnp.ndarray,  # [B]
+    langs: jnp.ndarray,  # [B]
+    tasks: jnp.ndarray,  # [B]
+    beam_size: int = 10,
+    max_tokens: int = 100,
+    length_penalty: float = 0.0,
+):
+    """Prompt-conditioned attention beam search (the reference decodes
+    whisper through attention_beam_search with the 4-token prompt prefix,
+    wenet/transformer/search.py:265-279) -> (tokens, lens, nbest scores)."""
+    from tpuasr.decode.attention_beam import attention_beam_search
+
+    prompt = model.apply(params, langs, tasks, method="prompt_tokens")
+    sp = model.cfg.special
+    return attention_beam_search(
+        model, params, enc_out, enc_lens, sp.sot, sp.eot,
+        beam_size=beam_size, max_len=max_tokens, prompt=prompt,
+        length_penalty=length_penalty,
+    )
