@@ -27,8 +27,7 @@ def main():
     from tpuasr.models import Transducer
     from tpuasr.train import TrainState, make_optimizer, make_train_step
 
-    cfg = Config()
-    cfg.feature.sample_rate = 16000
+    cfg = Config()  # 48 kHz corpus protocol (matches bench.py)
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.encoder.causal = True
     cfg.model.encoder.use_dynamic_chunk = True
@@ -37,8 +36,9 @@ def main():
 
     model = Transducer(cfg.model)
     utts = synth_corpus(12, cfg.model.vocab_size, seed=0, min_tokens=24, max_tokens=30,
-                        sample_rate=16000, samples_per_token=(250 - 6) * 512 // 30)
-    batch = device_view(make_batch(utts, BatchSpec(12, 255 * 512, 32)))
+                        sample_rate=cfg.feature.sample_rate,
+                        samples_per_token=(768 - 6) * 512 // 30)
+    batch = device_view(make_batch(utts, BatchSpec(12, 767 * 512, 32)))
     feats_t = 1 + batch["waves"].shape[1] // 512
     params = model.init(jax.random.PRNGKey(0),
                         np.zeros((12, feats_t, 80), np.float32),
@@ -57,6 +57,54 @@ def main():
             state, m = step(state, batch, rng)
         jax.block_until_ready(m["loss"])
     print(f"trace written to {args.out}")
+
+    audio_s = float(np.sum(batch["wave_lens"])) / cfg.feature.sample_rate
+    report_device_time(args.out, args.steps, audio_s)
+
+
+def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float):
+    """Parse the captured trace and print the *device-resident* time per
+    train step (sum of the jit_train_step spans on the TPU timeline).
+
+    On the time-shared chip, external tenants appear as gaps BETWEEN
+    programs, not inflated op durations — so device time per step is a
+    contention-immune throughput measurement where wall-clock (bench.py) is
+    a lottery. Also prints the top op families by device time."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import re
+
+    paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        print("no trace json found; skipping device-time report")
+        return
+    with gzip.open(sorted(paths)[-1]) as f:
+        events = json.load(f)["traceEvents"]
+    names = {e["pid"]: e["args"]["name"] for e in events
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in names.items() if "TPU" in n}
+    step_ms = 0.0
+    fam_ms: collections.Counter = collections.Counter()
+    fam_n: collections.Counter = collections.Counter()
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e["name"]
+        dur = e.get("dur", 0) / 1e3
+        if name.startswith("jit_train_step"):
+            step_ms += dur
+        elif not re.fullmatch(r"\d+", name):  # skip step-group spans
+            fam = re.sub(r"[.\d]+$", "", name)
+            fam_ms[fam] += dur
+            fam_n[fam] += 1
+    per_step = step_ms / max(n_steps, 1)
+    print(f"device time: {per_step:.2f} ms/step "
+          f"({audio_s_per_step / per_step * 1e3:.0f} audio-s/s/chip device-limited)")
+    print("top op families (device ms per step):")
+    for fam, ms in fam_ms.most_common(12):
+        print(f"  {ms / max(n_steps, 1):7.3f} ms x{fam_n[fam] // max(n_steps, 1):<6d} {fam[:80]}")
 
 
 if __name__ == "__main__":
