@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Offline evaluation CLI (rnnt_eval.py parity): decode dev/test with CTC
-greedy / RNN-T greedy / RNN-T beam, report corpus CER with S/D/I breakdown
-and REF/HYP samples."""
+"""Offline evaluation CLI (rnnt_eval.py parity): decode dev/test and report
+corpus CER with S/D/I breakdown and REF/HYP samples. Transducer workloads
+decode with CTC greedy / RNN-T greedy / RNN-T beam; the aed workload adds
+CTC prefix beam / attention beam / attention rescoring (wenet
+ASRModel.decode dispatch); the paraformer workload decodes NAR greedy/beam."""
 
 import argparse
 import os
@@ -15,8 +17,14 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--workload", choices=["rnnt", "online_rnnt"], default="rnnt")
-    ap.add_argument("--mode", choices=["ctc_greedy", "rnnt_greedy", "rnnt_beam"],
+    ap.add_argument("--workload",
+                    choices=["rnnt", "online_rnnt", "aed", "paraformer"],
+                    default="rnnt")
+    ap.add_argument("--mode",
+                    choices=["ctc_greedy", "rnnt_greedy", "rnnt_beam",
+                             "ctc_prefix_beam", "attention",
+                             "attention_rescoring", "paraformer_greedy",
+                             "paraformer_beam"],
                     default="rnnt_greedy")
     ap.add_argument("--split", choices=["dev", "test"], default="dev")
     ap.add_argument("--beam_size", type=int, default=4)

@@ -38,17 +38,45 @@ def parse_overrides(pairs):
 def build_model(cfg, workload):
     from tpuasr.models import Transducer
 
+    m = cfg.model
+    if workload == "aed":
+        # hybrid CTC + attention (wenet ASRModel role)
+        from tpuasr.models.asr_model import AEDConfig, ASRModel
+
+        d = m.att_decoder
+        return ASRModel(AEDConfig(
+            vocab_size=m.vocab_size, blank_id=m.blank_id,
+            ctc_weight=m.ctc_weight, lsm_weight=d.lsm_weight,
+            decoder_blocks=d.blocks, decoder_heads=d.heads, decoder_ffn=d.ffn,
+            r_decoder_blocks=d.r_blocks, reverse_weight=d.reverse_weight,
+            apply_non_blank_embedding=d.apply_non_blank_embedding,
+            compute_dtype=m.compute_dtype, encoder=m.encoder,
+        ))
+    if workload == "paraformer":
+        # non-autoregressive CIF decoder (wenet paraformer role); the SANM
+        # stack is selected through model.encoder.encoder_type=sanm
+        from tpuasr.models.paraformer import Paraformer, ParaformerConfig
+
+        d = m.att_decoder
+        return Paraformer(ParaformerConfig(
+            vocab_size=m.vocab_size, lsm_weight=d.lsm_weight,
+            decoder_blocks=d.blocks, decoder_heads=d.heads, decoder_ffn=d.ffn,
+            sampler=d.sampler, sampling_ratio=d.sampling_ratio,
+            compute_dtype=m.compute_dtype, encoder=m.encoder,
+            encoder_type="sanm" if m.encoder.encoder_type == "sanm" else "conformer",
+        ))
     if workload == "online_rnnt":
-        cfg.model.encoder.causal = True
-        cfg.model.encoder.use_dynamic_chunk = True
-        if cfg.model.encoder.static_chunk_size == 0:
-            cfg.model.encoder.static_chunk_size = cfg.streaming.chunk_size
-    return Transducer(cfg.model)
+        m.encoder.causal = True
+        m.encoder.use_dynamic_chunk = True
+        if m.encoder.static_chunk_size == 0:
+            m.encoder.static_chunk_size = cfg.streaming.chunk_size
+    return Transducer(m)
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--workload", choices=["ctc", "rnnt", "online_rnnt"],
+    ap.add_argument("--workload",
+                    choices=["ctc", "rnnt", "online_rnnt", "aed", "paraformer"],
                     default="online_rnnt")
     ap.add_argument("--config", default=None)
     ap.add_argument("--set", nargs="*", default=[], help="dotted overrides k=v")

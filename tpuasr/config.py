@@ -164,6 +164,29 @@ class ModelConfig:
     encoder: EncoderConfig = field(default_factory=EncoderConfig)
     predictor: PredictorConfig = field(default_factory=PredictorConfig)
     joint: JointConfig = field(default_factory=JointConfig)
+    att_decoder: "AttDecoderConfig" = field(
+        default_factory=lambda: AttDecoderConfig()
+    )
+
+
+@dataclass
+class AttDecoderConfig:
+    """Attention-decoder knobs for the `aed` (hybrid CTC+attention ASRModel)
+    and `paraformer` (NAR) CLI workloads; the encoder comes from
+    `model.encoder` as for the transducer workloads."""
+
+    blocks: int = 6
+    heads: int = 4
+    ffn: int = 1024
+    lsm_weight: float = 0.1
+    # aed only: right-to-left second decoder (BiTransformerDecoder)
+    r_blocks: int = 0
+    reverse_weight: float = 0.3
+    # aed only: feed the decoder only non-blank frames (by CTC argmax)
+    apply_non_blank_embedding: bool = False
+    # paraformer only: glancing-sampler + stack selection
+    sampler: bool = True
+    sampling_ratio: float = 0.75
 
 
 @dataclass

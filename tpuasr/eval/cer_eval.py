@@ -18,7 +18,10 @@ import numpy as np
 from tpuasr.audio import fbank_batch
 from tpuasr.config import Config
 from tpuasr.decode import ctc_greedy_decode, rnnt_greedy_decode
+from tpuasr.decode.attention_beam import attention_beam_search
+from tpuasr.decode.ctc_prefix_beam import ctc_prefix_beam_search
 from tpuasr.decode.rnnt_beam import rnnt_beam_decode
+from tpuasr.models.asr_model import attention_rescoring
 from tpuasr.text.cer import CerCounts, cer_details
 
 
@@ -43,44 +46,89 @@ def evaluate_offline(
     batches: Iterable[dict],
     cfg: Config,
     tokenizer,
-    mode: str = "rnnt_greedy",  # ctc_greedy | rnnt_greedy | rnnt_beam
+    # transducer: ctc_greedy | rnnt_greedy | rnnt_beam
+    # aed (ASRModel): ctc_greedy | ctc_prefix_beam | attention |
+    #                 attention_rescoring
+    # paraformer: paraformer_greedy | paraformer_beam
+    mode: str = "rnnt_greedy",
     beam_size: int = 4,
     n_steps: int = 10,
     max_tokens: int = 200,
     max_samples: int = 5,
     ctc_fusion_weight: float = 0.0,  # rnnt_beam: per-frame CTC shallow fusion
+    rescoring_ctc_weight: float = 0.5,  # attention_rescoring score fusion
 ) -> EvalResult:
     c = cfg.model
+    blank_id = getattr(model.cfg, "blank_id", c.blank_id)
     total = CerCounts(0, 0, 0, 0)
     samples = []
 
     @jax.jit
-    def encode(waves, wave_lens):
-        feats, feat_lens = fbank_batch(waves, wave_lens, cfg.feature)
+    def featify(waves, wave_lens):
+        return fbank_batch(waves, wave_lens, cfg.feature)
+
+    @jax.jit
+    def encode(feats, feat_lens):
         return model.apply(params, feats, feat_lens, method="encode")
 
     @jax.jit
     def ctc_head(enc):
         return model.apply(params, enc, method="ctc_logits")
 
+    def ctc_lp(enc):
+        return jax.nn.log_softmax(ctc_head(enc).astype(jnp.float32), axis=-1)
+
     for batch in batches:
-        enc, enc_lens = encode(batch["waves"], batch["wave_lens"])
-        if mode == "ctc_greedy":
-            logits = ctc_head(enc)
-            lp = jax.nn.log_softmax(logits, axis=-1)
-            toks, tok_lens = ctc_greedy_decode(lp, enc_lens, c.blank_id)
-        elif mode == "rnnt_greedy":
-            toks, tok_lens = rnnt_greedy_decode(
-                model, params, enc, enc_lens, c.blank_id, n_steps, max_tokens
-            )
-        elif mode == "rnnt_beam":
-            toks, tok_lens, *_ = rnnt_beam_decode(
-                model, params, enc, enc_lens, c.blank_id, beam_size, max_tokens,
-                ctc_weight=ctc_fusion_weight,
-                transducer_weight=c.transducer_weight,
-            )
+        feats, feat_lens = featify(batch["waves"], batch["wave_lens"])
+        if mode == "paraformer_greedy":
+            toks, tok_lens = model.apply(params, feats, feat_lens,
+                                         method="greedy_decode")
+        elif mode == "paraformer_beam":
+            nb_toks, _, tok_lens = model.apply(params, feats, feat_lens,
+                                               beam_size, method="beam_decode")
+            toks = nb_toks[:, 0]
         else:
-            raise ValueError(mode)
+            enc, enc_lens = encode(feats, feat_lens)
+            if mode == "ctc_greedy":
+                toks, tok_lens = ctc_greedy_decode(ctc_lp(enc), enc_lens, blank_id)
+            elif mode == "ctc_prefix_beam":
+                toks, tok_lens, _ = ctc_prefix_beam_search(
+                    ctc_lp(enc), enc_lens, blank_id, beam_size, max_tokens
+                )
+            elif mode == "attention":
+                toks, tok_lens, _ = attention_beam_search(
+                    model, params, enc, enc_lens, model.cfg.sos_id,
+                    model.cfg.eos_id, beam_size, max_tokens,
+                )
+            elif mode == "attention_rescoring":
+                lp = ctc_lp(enc)
+                _, _, (nb_tok, nb_len, nb_score) = ctc_prefix_beam_search(
+                    lp, enc_lens, blank_id, beam_size, max_tokens
+                )
+                r_enc, r_lens = enc, enc_lens
+                if getattr(model.cfg, "apply_non_blank_embedding", False):
+                    from tpuasr.models.asr_model import filter_blank_embedding
+
+                    r_enc, r_lens = filter_blank_embedding(lp, enc, enc_lens,
+                                                           blank_id)
+                toks, tok_lens, _ = attention_rescoring(
+                    model, params, r_enc, r_lens, nb_tok, nb_len, nb_score,
+                    ctc_weight=rescoring_ctc_weight,
+                    reverse_weight=getattr(model.cfg, "reverse_weight", 0.0)
+                    if getattr(model.cfg, "r_decoder_blocks", 0) > 0 else 0.0,
+                )
+            elif mode == "rnnt_greedy":
+                toks, tok_lens = rnnt_greedy_decode(
+                    model, params, enc, enc_lens, blank_id, n_steps, max_tokens
+                )
+            elif mode == "rnnt_beam":
+                toks, tok_lens, *_ = rnnt_beam_decode(
+                    model, params, enc, enc_lens, blank_id, beam_size, max_tokens,
+                    ctc_weight=ctc_fusion_weight,
+                    transducer_weight=c.transducer_weight,
+                )
+            else:
+                raise ValueError(mode)
 
         toks = np.asarray(toks)
         tok_lens = np.asarray(tok_lens)

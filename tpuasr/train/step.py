@@ -47,15 +47,17 @@ class TrainState(struct.PyTreeNode):
 def _batch_forward(model, cfg: Config, variables, batch, rng, deterministic):
     """waves -> features -> model loss dict."""
     feats, feat_lens = fbank_batch(batch["waves"], batch["wave_lens"], cfg.feature)
-    dropout_rng, chunk_rng = jax.random.split(rng)
+    dropout_rng, chunk_rng, sampler_rng = jax.random.split(rng, 3)
     kwargs = dict(
         chunk_rng=chunk_rng,
         deterministic=deterministic,
     )
     if not deterministic:
+        # the sampler stream feeds the paraformer glancing sampler; models
+        # without that collection simply ignore the extra key
         out = model.apply(
             variables, feats, feat_lens, batch["texts"], batch["text_lens"],
-            rngs={"dropout": dropout_rng}, **kwargs,
+            rngs={"dropout": dropout_rng, "sampler": sampler_rng}, **kwargs,
         )
     else:
         out = model.apply(
