@@ -62,7 +62,8 @@ def main():
     report_device_time(args.out, args.steps, audio_s)
 
 
-def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float):
+def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float,
+                       out=None):
     """Parse the captured trace and print the *device-resident* time per
     train step (sum of the jit_train_step spans on the TPU timeline).
 
@@ -76,9 +77,10 @@ def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float):
     import json
     import re
 
+    out = out or sys.stdout
     paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
     if not paths:
-        print("no trace json found; skipping device-time report")
+        print("no trace json found; skipping device-time report", file=out)
         return
     with gzip.open(sorted(paths)[-1]) as f:
         events = json.load(f)["traceEvents"]
@@ -101,10 +103,12 @@ def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float):
             fam_n[fam] += 1
     per_step = step_ms / max(n_steps, 1)
     print(f"device time: {per_step:.2f} ms/step "
-          f"({audio_s_per_step / per_step * 1e3:.0f} audio-s/s/chip device-limited)")
-    print("top op families (device ms per step):")
+          f"({audio_s_per_step / per_step * 1e3:.0f} audio-s/s/chip device-limited)",
+          file=out)
+    print("top op families (device ms per step):", file=out)
     for fam, ms in fam_ms.most_common(12):
-        print(f"  {ms / max(n_steps, 1):7.3f} ms x{fam_n[fam] // max(n_steps, 1):<6d} {fam[:80]}")
+        print(f"  {ms / max(n_steps, 1):7.3f} ms x{fam_n[fam] // max(n_steps, 1):<6d} {fam[:80]}",
+              file=out)
 
 
 if __name__ == "__main__":

@@ -12,6 +12,9 @@ advances per frame in one fused program:
   - extend-candidates (top-k tokens, k = beam): prefix+u with
     pnb' = (u == last ? pb : pb ⊕ pnb) + lp[u];
   - duplicate prefixes merge via logaddexp; survivors = top-N by pb ⊕ pnb.
+    Duplicates are detected by O(1)-updated rolling sequence hashes
+    (2 uint32 streams + length, as in decode/rnnt_beam.py) — C x C scalar
+    compares instead of O(C^2 * Umax) token-array compares.
 
 Hotword ContextGraph biasing (wenet context_graph.py) hooks in at the
 extend-candidate scores; not yet implemented (SURVEY §7 step 9 long tail).
@@ -41,23 +44,29 @@ class PrefixBeam:
     pnb: jnp.ndarray  # [B, N] log prob of prefix ending in its last token
     node: jnp.ndarray  # [B, N] context-graph state (0 when no graph)
     bias: jnp.ndarray  # [B, N] accumulated hotword bias score
+    # rolling hashes of the prefix (2 independent uint32 streams, O(1) per
+    # extension); duplicate prefixes are detected by (hash, len) equality —
+    # C x C scalar compares instead of O(C^2 * Umax) token-array compares
+    # (same scheme as decode/rnnt_beam.py)
+    seq_hash: jnp.ndarray  # [B, N, 2] uint32
 
 
 jax.tree_util.register_dataclass(
     PrefixBeam,
-    data_fields=["tokens", "lens", "pb", "pnb", "node", "bias"],
+    data_fields=["tokens", "lens", "pb", "pnb", "node", "bias", "seq_hash"],
     meta_fields=[],
 )
 
 
-def _first_occurrence_merge(tokens, lens, pb, pnb):
-    """Merge identical prefixes: logaddexp pb's and pnb's into the first
-    occurrence, squash the rest to -inf. Also returns the contribution
-    matrix [B, C(i), C(j)] (candidate j merges into first-occurrence i) and
-    the is_first mask for callers merging additional per-candidate state."""
-    same = jnp.all(tokens[:, :, None, :] == tokens[:, None, :, :], axis=-1)
+def _first_occurrence_merge(keys, lens, pb, pnb):
+    """Merge identical prefixes (same (hash-keys, len)): logaddexp pb's and
+    pnb's into the first occurrence, squash the rest to -inf. Also returns
+    the contribution matrix [B, C(i), C(j)] (candidate j merges into
+    first-occurrence i) and the is_first mask for callers merging additional
+    per-candidate state."""
+    same = jnp.all(keys[:, :, None, :] == keys[:, None, :, :], axis=-1)
     same = same & (lens[:, :, None] == lens[:, None, :])
-    c = tokens.shape[1]
+    c = keys.shape[1]
     idx = jnp.arange(c)
     first = jnp.argmax(same, axis=1)  # [B, C]
     contrib = first[:, None, :] == idx[None, :, None]  # [B, C(i), C(j)]
@@ -119,6 +128,7 @@ def ctc_prefix_beam_search(
         pnb=jnp.full((b, n), _NEG),
         node=jnp.zeros((b, n), jnp.int32),
         bias=jnp.zeros((b, n), jnp.float32),
+        seq_hash=jnp.zeros((b, n, 2), jnp.uint32),
     )
     vit0 = None
     if return_times:
@@ -153,11 +163,14 @@ def ctc_prefix_beam_search(
         can_extend = beam.lens < umax
         ext_pnb = jnp.where(can_extend[..., None], base + top_lp[:, None, :], _NEG)
 
-        from tpuasr.decode.rnnt_beam import _extend
+        from tpuasr.decode.rnnt_beam import _extend, _extend_hash
 
         extended = jax.vmap(_extend, in_axes=(0, 0, 0, None))(
             beam.tokens, beam.lens, jnp.broadcast_to(top_tok[:, None, :], (b, n, n)), umax
         )  # [B, N, k, U]
+        ext_hash = _extend_hash(
+            beam.seq_hash[:, :, None, :], top_tok[:, None, :]
+        )  # [B, N, k, 2]
 
         cand_tokens = jnp.concatenate(
             [beam.tokens[:, :, None, :], extended], axis=2
@@ -171,6 +184,9 @@ def ctc_prefix_beam_search(
         cand_pnb = jnp.concatenate([stay_pnb[:, :, None], ext_pnb], axis=2).reshape(
             b, n * (1 + n)
         )
+        cand_hash = jnp.concatenate(
+            [beam.seq_hash[:, :, None, :], ext_hash], axis=2
+        ).reshape(b, n * (1 + n), 2)
         if context_graph is not None:
             ext_node = cg_next[beam.node[..., None], top_tok[:, None, :]]  # [B,N,k]
             ext_bias = beam.bias[..., None] + cg_delta[beam.node[..., None], top_tok[:, None, :]]
@@ -234,7 +250,7 @@ def ctc_prefix_beam_search(
             ).reshape(b, -1)
 
         m_pb, m_pnb, contrib, is_first = _first_occurrence_merge(
-            cand_tokens, cand_lens, cand_pb, cand_pnb
+            cand_hash, cand_lens, cand_pb, cand_pnb
         )
         score = _logaddexp(m_pb, m_pnb) + cand_bias
         _, sel = jax.lax.top_k(score, n)
@@ -245,6 +261,7 @@ def ctc_prefix_beam_search(
             pnb=jnp.take_along_axis(m_pnb, sel, axis=1),
             node=jnp.take_along_axis(cand_node, sel, axis=1),
             bias=jnp.take_along_axis(cand_bias, sel, axis=1),
+            seq_hash=jnp.take_along_axis(cand_hash, sel[..., None], axis=1),
         )
         keep = active[:, None]
         beam_out = PrefixBeam(
@@ -254,6 +271,7 @@ def ctc_prefix_beam_search(
             pnb=jnp.where(keep, new.pnb, beam.pnb),
             node=jnp.where(keep, new.node, beam.node),
             bias=jnp.where(keep, new.bias, beam.bias),
+            seq_hash=jnp.where(keep[..., None], new.seq_hash, beam.seq_hash),
         )
         vit_out = None
         if vit is not None:
