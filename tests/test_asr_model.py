@@ -255,3 +255,26 @@ def test_reverse_padded():
     out = np.asarray(_reverse_padded(jnp.asarray(t), jnp.asarray(lens)))
     assert out[0].tolist() == [3, 2, 1, 0, 0]
     assert out[1].tolist() == [9, 9, 8, 7, 0]
+
+
+def test_decode_dispatch_return_times(aed, rng):
+    """return_times adds per-token frame indices to the CTC-derived methods
+    (greedy emission frames; beam/rescoring viterbi peak frames)."""
+    from tpuasr.decode.dispatch import decode_aed
+
+    model, params, cfg = aed
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    feat_lens = np.array([67, 50], np.int32)
+    res = decode_aed(
+        model, params, feats, feat_lens,
+        methods=["ctc_greedy_search", "ctc_prefix_beam_search",
+                 "attention_rescoring"],
+        beam_size=3, max_tokens=12, return_times=True,
+    )
+    for method, out in res.items():
+        tok, lens, times = out
+        tok, lens, times = np.asarray(tok), np.asarray(lens), np.asarray(times)
+        for b in range(2):
+            tt = times[b, : lens[b]]
+            assert np.all(tt >= 0) and np.all(tt < 67), (method, tt)
+            assert np.all(np.diff(tt) >= 0), (method, tt)  # monotone frames

@@ -28,9 +28,15 @@ def decode_aed(
     max_tokens: int = 64,
     ctc_weight: float = 0.5,
     context_graph=None,
+    return_times: bool = False,
 ) -> dict:
     """-> {method: (tokens [B, U], lens [B])} for any of
-    {ctc_greedy_search, ctc_prefix_beam_search, attention, attention_rescoring}."""
+    {ctc_greedy_search, ctc_prefix_beam_search, attention, attention_rescoring}.
+
+    With ``return_times=True`` the CTC-derived methods return
+    (tokens, lens, times) — per-token frame indices (greedy emission frames;
+    prefix-beam/rescoring viterbi peak frames carried through n-best
+    selection, the wenet DecodeResult.times role)."""
     cfg = model.cfg
     enc, enc_lens = model.apply(params, feats, feat_lens, method="encode")
     results: dict = {}
@@ -41,16 +47,32 @@ def decode_aed(
         logits = model.apply(params, enc, method="ctc_logits")
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-    nbest = None
+    nbest = nb_times = None
     if "ctc_greedy_search" in methods:
-        results["ctc_greedy_search"] = ctc_greedy_decode(lp, enc_lens, cfg.blank_id)
+        if return_times:
+            g_tok, g_len, g_times, _ = ctc_greedy_decode(
+                lp, enc_lens, cfg.blank_id, with_details=True
+            )
+            results["ctc_greedy_search"] = (g_tok, g_len, g_times)
+        else:
+            results["ctc_greedy_search"] = ctc_greedy_decode(lp, enc_lens, cfg.blank_id)
     if {"ctc_prefix_beam_search", "attention_rescoring"} & set(methods):
-        best_tok, best_len, nbest = ctc_prefix_beam_search(
-            lp, enc_lens, cfg.blank_id, beam_size, max_tokens,
-            context_graph=context_graph,
-        )
-        if "ctc_prefix_beam_search" in methods:
-            results["ctc_prefix_beam_search"] = (best_tok, best_len)
+        if return_times:
+            best_tok, best_len, best_times, (nb_tok, nb_len, nb_score, nb_times) = \
+                ctc_prefix_beam_search(
+                    lp, enc_lens, cfg.blank_id, beam_size, max_tokens,
+                    context_graph=context_graph, return_times=True,
+                )
+            nbest = (nb_tok, nb_len, nb_score)
+            if "ctc_prefix_beam_search" in methods:
+                results["ctc_prefix_beam_search"] = (best_tok, best_len, best_times)
+        else:
+            best_tok, best_len, nbest = ctc_prefix_beam_search(
+                lp, enc_lens, cfg.blank_id, beam_size, max_tokens,
+                context_graph=context_graph,
+            )
+            if "ctc_prefix_beam_search" in methods:
+                results["ctc_prefix_beam_search"] = (best_tok, best_len)
     if "attention" in methods:
         tok, lens, _ = attention_beam_search(
             model, params, enc, enc_lens, cfg.sos_id, cfg.eos_id, beam_size,
@@ -67,8 +89,15 @@ def decode_aed(
             from tpuasr.models.asr_model import filter_blank_embedding
 
             r_enc, r_lens = filter_blank_embedding(lp, enc, enc_lens, cfg.blank_id)
-        tok, lens, _ = attention_rescoring(
+        tok, lens, total = attention_rescoring(
             model, params, r_enc, r_lens, nb_tok, nb_len, nb_score, ctc_weight
         )
-        results["attention_rescoring"] = (tok, lens)
+        if return_times:
+            # times follow the selected hypothesis (wenet search.py:448-451:
+            # DecodeResult.times = nbest_times[best])
+            best = jnp.argmax(total, axis=1)
+            times = jnp.take_along_axis(nb_times, best[:, None, None], axis=1)[:, 0]
+            results["attention_rescoring"] = (tok, lens, times)
+        else:
+            results["attention_rescoring"] = (tok, lens)
     return results
