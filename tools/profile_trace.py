@@ -17,6 +17,8 @@ def main():
     ap.add_argument("--out", default="exp/trace")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--frames", type=int, default=768)
     args = ap.parse_args()
 
     import jax
@@ -35,14 +37,15 @@ def main():
     cfg.model.fused_joint_loss = args.fused
 
     model = Transducer(cfg.model)
-    utts = synth_corpus(12, cfg.model.vocab_size, seed=0, min_tokens=24, max_tokens=30,
+    bsz, frames = args.batch, args.frames
+    utts = synth_corpus(bsz, cfg.model.vocab_size, seed=0, min_tokens=24, max_tokens=30,
                         sample_rate=cfg.feature.sample_rate,
-                        samples_per_token=(768 - 6) * 512 // 30)
-    batch = device_view(make_batch(utts, BatchSpec(12, 767 * 512, 32)))
+                        samples_per_token=(frames - 6) * 512 // 30)
+    batch = device_view(make_batch(utts, BatchSpec(bsz, (frames - 1) * 512, 32)))
     feats_t = 1 + batch["waves"].shape[1] // 512
     params = model.init(jax.random.PRNGKey(0),
-                        np.zeros((12, feats_t, 80), np.float32),
-                        np.full(12, feats_t, np.int32),
+                        np.zeros((bsz, feats_t, 80), np.float32),
+                        np.full(bsz, feats_t, np.int32),
                         batch["texts"], batch["text_lens"])
     tx = make_optimizer(cfg.optim)
     state = TrainState.create(params, tx)
