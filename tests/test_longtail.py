@@ -242,3 +242,20 @@ def test_tokenize_mixed_cjk_split():
     sym = {"<unk>": 0, "ni": 1, "hao": 2, "你": 3, "好": 4, "OK": 5}
     tok = ParaformerTokenizer(sym, seg_dict={"nihao": "ni hao"})
     assert tok.text2tokens("你nihao好 OK") == ["你", "ni", "hao", "好", "OK"]
+
+
+def test_compilation_cache_writes_entries(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuasr.utils.compile_cache import enable_compilation_cache
+
+    td = str(tmp_path / "xla_cache")
+    assert enable_compilation_cache(td, min_compile_secs=0.0) == td
+    f = jax.jit(lambda x: jnp.sin(x) @ jnp.cos(x).T)
+    f(np.ones((64, 64), np.float32)).block_until_ready()
+    import os
+
+    files = [fn for _, _, fs in os.walk(td) for fn in fs]
+    assert files, "no persistent cache entries written"

@@ -23,6 +23,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from tpuasr.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # TPUASR_COMPILE_CACHE=off to disable
     import jax.numpy as jnp
 
     from tools.train import build_model, parse_overrides

@@ -24,6 +24,10 @@ def main():
 
     import jax
 
+    from tpuasr.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # TPUASR_COMPILE_CACHE=off to disable
+
     from tools.train import build_model, parse_overrides
     from tpuasr.config import Config, load_yaml, override
     from tpuasr.eval import evaluate_streaming

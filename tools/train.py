@@ -89,6 +89,10 @@ def main():
 
     import jax
 
+    from tpuasr.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # TPUASR_COMPILE_CACHE=off to disable
+
     from tpuasr.config import Config, load_yaml, override, summarize
     from tpuasr.parallel import make_mesh
     from tpuasr.text import Tokenizer
