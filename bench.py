@@ -37,6 +37,10 @@ import numpy as np
 def main():
     import jax
 
+    from tpuasr.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # reuse compiled steps across bench runs
+
     from tpuasr.config import Config
     from tpuasr.data.pipeline import BatchSpec, device_view, make_batch
     from tpuasr.data.synthetic import synth_corpus
