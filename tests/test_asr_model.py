@@ -278,3 +278,25 @@ def test_decode_dispatch_return_times(aed, rng):
             tt = times[b, : lens[b]]
             assert np.all(tt >= 0) and np.all(tt < 67), (method, tt)
             assert np.all(np.diff(tt) >= 0), (method, tt)  # monotone frames
+
+
+def test_attention_rescoring_confidence(aed, rng):
+    """return_confidence yields exp(att/(len+1)) in (0,1] and per-token
+    probabilities over the valid positions (wenet search.py:420-440)."""
+    model, params, cfg = aed
+    feats = rng.standard_normal((2, 67, 80)).astype(np.float32)
+    enc, enc_lens = model.apply(params, feats, np.array([67, 50], np.int32),
+                                method="encode")
+    lp = jax.nn.log_softmax(
+        model.apply(params, enc, method="ctc_logits").astype(np.float32), -1)
+    _, _, (nb_tok, nb_len, nb_score) = ctc_prefix_beam_search(
+        lp, enc_lens, cfg.blank_id, 3, 12)
+    tok, lens, total, conf, tok_conf = attention_rescoring(
+        model, params, enc, enc_lens, nb_tok, nb_len, nb_score,
+        ctc_weight=0.5, return_confidence=True)
+    conf, tok_conf = np.asarray(conf), np.asarray(tok_conf)
+    assert np.all(conf > 0.0) and np.all(conf <= 1.0 + 1e-6)
+    for b in range(2):
+        L = int(lens[b])
+        assert np.all(tok_conf[b, :L] > 0.0) and np.all(tok_conf[b, :L] <= 1.0 + 1e-6)
+        np.testing.assert_array_equal(tok_conf[b, L:], 0.0)

@@ -214,12 +214,18 @@ def attention_rescoring(
     nbest_ctc_scores: jnp.ndarray,  # [B, N]
     ctc_weight: float = 0.5,
     reverse_weight: float = 0.0,
+    return_confidence: bool = False,
 ):
     """Pick the best CTC n-best hypothesis by decoder + ctc score fusion.
 
     score = att_logp(hyp) + ctc_weight * ctc_score (search.py:443-447); with
     `reverse_weight` > 0 and an R2L decoder, att_logp fuses both directions
-    (search.py:418-441)."""
+    (search.py:418-441).
+
+    With `return_confidence`, also returns the selected hypothesis's
+    utterance confidence exp(att_score / (len + 1)) and per-token
+    confidences exp(token logp) — averaged over both directions when
+    bidirectional (search.py:420-440, DecodeResult confidence fields)."""
     c = model.cfg
     b, n, u = nbest_tokens.shape
     flat_tok = nbest_tokens.reshape(b * n, u)
@@ -230,6 +236,7 @@ def attention_rescoring(
     u_idx = jnp.arange(u + 1)[None, :]
 
     def score_dir(tokens, method):
+        """-> (hyp scores [B, N], per-position token logp [B, N, U+1])."""
         ys_in = jnp.concatenate([sos, tokens], axis=1)
         logits = model.apply(params, enc_rep, lens_rep, ys_in, flat_len + 1,
                              method=method)
@@ -238,16 +245,32 @@ def attention_rescoring(
         tgt = jnp.where(u_idx == flat_len[:, None], c.eos_id, tgt)
         tok_lp = jnp.take_along_axis(lp, tgt[..., None].astype(jnp.int32), axis=-1)[..., 0]
         valid = u_idx <= flat_len[:, None]  # include the eos step
-        return jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1).reshape(b, n)
+        scores = jnp.sum(jnp.where(valid, tok_lp, 0.0), axis=1).reshape(b, n)
+        return scores, tok_lp.reshape(b, n, u + 1)
 
-    att_score = score_dir(flat_tok, "decoder_scores")
+    att_score, fw_lp = score_dir(flat_tok, "decoder_scores")
+    tok_conf = jnp.exp(fw_lp[:, :, :u])  # [B, N, U] (token steps, no eos)
     if reverse_weight > 0 and c.r_decoder_blocks > 0:
-        r_score = score_dir(_reverse_padded(flat_tok, flat_len), "r_decoder_scores")
+        r_score, bw_lp = score_dir(
+            _reverse_padded(flat_tok, flat_len), "r_decoder_scores"
+        )
         att_score = (1.0 - reverse_weight) * att_score + reverse_weight * r_score
+        # bw position j scored token len-1-j: un-reverse before averaging
+        bw_conf = _reverse_padded(
+            jnp.exp(bw_lp[:, :, :u]).reshape(b * n, u), flat_len
+        ).reshape(b, n, u)
+        tok_conf = (tok_conf + bw_conf) / 2.0
 
     total = att_score + ctc_weight * nbest_ctc_scores
     total = jnp.where(nbest_ctc_scores > -1.0e29, total, -1.0e30)
     best = jnp.argmax(total, axis=1)
     tokens = jnp.take_along_axis(nbest_tokens, best[:, None, None], axis=1)[:, 0]
     lens = jnp.take_along_axis(nbest_lens, best[:, None], axis=1)[:, 0]
-    return tokens, lens, total
+    if not return_confidence:
+        return tokens, lens, total
+    best_att = jnp.take_along_axis(att_score, best[:, None], axis=1)[:, 0]
+    confidence = jnp.exp(best_att / (lens + 1))
+    best_tok_conf = jnp.take_along_axis(tok_conf, best[:, None, None], axis=1)[:, 0]
+    valid = jnp.arange(u)[None, :] < lens[:, None]
+    best_tok_conf = jnp.where(valid, best_tok_conf, 0.0)
+    return tokens, lens, total, confidence, best_tok_conf
