@@ -13,10 +13,10 @@ Protocol (matches the reference corpus protocol, NOT a favourable one):
   - reference training configuration: 12-block d256 causal conformer +
     LSTM predictor + joint, dynamic-chunk training, batch 12
     (rnnt_common.py:7-21).
-  - headline value = median of 9 timing windows (the chip is time-shared
-    and window-to-window spread of 3-4x from external tenants is routine;
-    the spread is reported on stderr as variance, the median is the
-    number of record).
+  - headline value = median of 21 ten-step timing windows spread 8 s apart
+    (the chip is time-shared and window-to-window spread of 3-4x from
+    external tenants is routine; the spread is reported on stderr as
+    variance, the median is the number of record).
 
 `vs_baseline` is the real-time factor (value / 1.0 audio-second per
 second): how many seconds of audio are trained per wall-clock second per

@@ -226,3 +226,18 @@ def test_train_loop_step_interval_cv(tmp_path):
     assert step_ckpts, os.listdir(cfg.train.save_dir)
     log = open(os.path.join(cfg.train.save_dir, "log.txt")).read()
     assert "cv_loss" in log
+
+    # without a dev set, step-interval checkpoints must still be written
+    # (executor.py saves at save_interval regardless of CV availability)
+    cfg.train.save_dir = str(tmp_path / "exp_nodev")
+    cfg.train.log_dir = str(tmp_path / "tb_nodev")
+    # the first loop donated the old state's buffers; re-init
+    params2 = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((b, feats_t, 80), np.float32), np.full((b,), feats_t, np.int32),
+        first["texts"], first["text_lens"],
+    )
+    state2 = TrainState.create(params2, tx)
+    train_loop(cfg, model, state2, train_pipe, dev_pipeline=None, epochs=1)
+    step_ckpts = [d for d in os.listdir(cfg.train.save_dir) if d.startswith("step_")]
+    assert step_ckpts, os.listdir(cfg.train.save_dir)

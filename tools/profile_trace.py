@@ -105,6 +105,10 @@ def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float,
             fam_ms[fam] += dur
             fam_n[fam] += 1
     per_step = step_ms / max(n_steps, 1)
+    if per_step <= 0.0:
+        print("no jit_train_step spans on a TPU timeline in this trace; "
+              "skipping device-time report", file=out)
+        return
     print(f"device time: {per_step:.2f} ms/step "
           f"({audio_s_per_step / per_step * 1e3:.0f} audio-s/s/chip device-limited)",
           file=out)

@@ -89,8 +89,13 @@ def decode_aed(
             from tpuasr.models.asr_model import filter_blank_embedding
 
             r_enc, r_lens = filter_blank_embedding(lp, enc, enc_lens, cfg.blank_id)
+        # fuse the R2L decoder's scores when the model has one (same rule as
+        # eval/cer_eval.py — keep the two entry points in agreement)
+        rw = (getattr(cfg, "reverse_weight", 0.0)
+              if getattr(cfg, "r_decoder_blocks", 0) > 0 else 0.0)
         tok, lens, total = attention_rescoring(
-            model, params, r_enc, r_lens, nb_tok, nb_len, nb_score, ctc_weight
+            model, params, r_enc, r_lens, nb_tok, nb_len, nb_score, ctc_weight,
+            reverse_weight=rw,
         )
         if return_times:
             # times follow the selected hypothesis (wenet search.py:448-451:

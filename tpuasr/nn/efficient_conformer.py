@@ -225,26 +225,12 @@ class EfficientConformerBlock(nn.Module):
         return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x), new_att_cache, new_cnn_cache
 
 
-@dataclass
-class EfficientConformerStreamState:
-    """Per-layer fixed-shape streaming caches (shapes differ by frame rate).
-
-    att: tuple over layers of (k, v), each [B, A_i, H, dk] at the layer's
-         own input rate.
-    cnn: tuple over layers of [B, lorder, D] post-GLU conv left context
-         (strided layers: at the layer's input rate).
-    offset: [] int32 — pre-stride encoder frames consumed so far.
-    """
-
-    att: tuple
-    cnn: tuple
-    offset: jnp.ndarray
-
-
-jax.tree_util.register_dataclass(
-    EfficientConformerStreamState,
-    data_fields=["att", "cnn", "offset"],
-    meta_fields=[],
+# shared multi-rate streaming cache machinery (also used by squeezeformer)
+from tpuasr.streaming.family_cache import (  # noqa: E402
+    FamilyStreamState as EfficientConformerStreamState,
+    init_family_state,
+    rate_view as _rate_view,
+    roll_cache,
 )
 
 
@@ -326,24 +312,17 @@ class EfficientConformerEncoder(nn.Module):
         stride grid and the attention group grid stay absolutely aligned."""
         c = self.cfg
         assert c.causal, "efficient-conformer streaming requires causal=True"
-        h = c.attention_heads
-        dk = c.output_size // h
-        a = chunk_size * max(num_left_chunks, 0)
-        lorder = c.cnn_module_kernel - 1
-        att, cnn = [], []
         for i in range(c.num_blocks):
             f = self.layer_factor(i)
             assert chunk_size % (f * c.group_size) == 0, (
                 f"chunk {chunk_size} must be divisible by factor {f} * "
                 f"group_size {c.group_size} for layer {i}"
             )
-            att.append((
-                jnp.zeros((batch, a // f, h, dk), self.dtype),
-                jnp.zeros((batch, a // f, h, dk), self.dtype),
-            ))
-            cnn.append(jnp.zeros((batch, lorder, c.output_size), self.dtype))
-        return EfficientConformerStreamState(
-            att=tuple(att), cnn=tuple(cnn), offset=jnp.zeros((), jnp.int32)
+        return init_family_state(
+            batch, chunk_size, num_left_chunks, c.num_blocks,
+            self.layer_factor, c.attention_heads,
+            c.output_size // c.attention_heads, c.cnn_module_kernel - 1,
+            c.output_size, self.dtype,
         )
 
     def forward_chunk(self, xs: jnp.ndarray, state: EfficientConformerStreamState):
@@ -363,16 +342,8 @@ class EfficientConformerEncoder(nn.Module):
         a0 = state.att[0][0].shape[1]
 
         def rate_view(factor):
-            a_f = a0 // factor
-            chunk_f = chunk // factor
-            off_f = state.offset // factor
-            pos = self.pe.position_encoding(
-                (off_f - a_f) * factor, a_f + chunk_f, stride=factor
-            ).astype(ys.dtype)
-            valid = jnp.minimum(off_f, a_f)
-            j = jnp.arange(a_f + chunk_f)[None, None, :]
-            att_mask = jnp.broadcast_to(j >= (a_f - valid), (b, chunk_f, a_f + chunk_f))
-            return pos, att_mask
+            return _rate_view(self.pe, state.offset, a0, chunk, b, factor,
+                              ys.dtype)
 
         new_att = [None] * c.num_blocks
         new_cnn = [None] * c.num_blocks
@@ -380,17 +351,12 @@ class EfficientConformerEncoder(nn.Module):
         pos_emb, att_mask = rate_view(1)
         for i, blk in enumerate(self.blocks):
             k_cache, v_cache = state.att[i]
-            a_i = k_cache.shape[1]
             ys, (k_full, v_full), cnn_new = blk(
                 ys, att_mask, pos_emb, mask_pad=None,
                 att_cache=(k_cache, v_cache), cnn_cache=state.cnn[i],
                 deterministic=True,
             )
-            chunk_i = k_full.shape[1] - a_i
-            new_att[i] = (
-                (k_full[:, chunk_i:], v_full[:, chunk_i:]) if a_i > 0
-                else (k_full[:, :0], v_full[:, :0])
-            )
+            new_att[i] = roll_cache(k_full, v_full, k_cache.shape[1])
             new_cnn[i] = cnn_new if cnn_new is not None else state.cnn[i]
             if i in stride_idx:
                 factor *= c.stride

@@ -191,25 +191,13 @@ class SqueezeformerBlock(nn.Module):
         return x, new_att_cache, new_cnn_cache
 
 
-@dataclass
-class SqueezeformerStreamState:
-    """Per-layer fixed-shape streaming caches (shapes differ by frame rate).
-
-    att: tuple over layers of (k, v), each [B, A_i, H, dk] at the layer's
-         own rate (A_i = chunk * left_chunks / factor_i).
-    cnn: tuple over layers of [B, lorder, D] post-GLU conv left context.
-    offset: [] int32 — full-rate encoder frames consumed so far.
-    """
-
-    att: tuple
-    cnn: tuple
-    offset: jnp.ndarray
-
-
-jax.tree_util.register_dataclass(
-    SqueezeformerStreamState,
-    data_fields=["att", "cnn", "offset"],
-    meta_fields=[],
+# shared multi-rate streaming cache machinery (also used by the
+# efficient-conformer family)
+from tpuasr.streaming.family_cache import (  # noqa: E402
+    FamilyStreamState as SqueezeformerStreamState,
+    init_family_state,
+    rate_view as _rate_view,
+    roll_cache,
 )
 
 
@@ -317,20 +305,11 @@ class SqueezeformerEncoder(nn.Module):
             "squeezeformer streaming requires time_reduction_type='stream'"
         )
         assert chunk_size % 2 == 0 or not c.reduce_idx, "chunk must be even"
-        h = c.attention_heads
-        dk = c.encoder_dim // h
-        a = chunk_size * max(num_left_chunks, 0)
-        lorder = c.cnn_module_kernel - 1
-        att, cnn = [], []
-        for i in range(c.num_blocks):
-            f = self.layer_factor(i)
-            att.append((
-                jnp.zeros((batch, a // f, h, dk), self.dtype),
-                jnp.zeros((batch, a // f, h, dk), self.dtype),
-            ))
-            cnn.append(jnp.zeros((batch, lorder, c.encoder_dim), self.dtype))
-        return SqueezeformerStreamState(
-            att=tuple(att), cnn=tuple(cnn), offset=jnp.zeros((), jnp.int32)
+        return init_family_state(
+            batch, chunk_size, num_left_chunks, c.num_blocks,
+            self.layer_factor, c.attention_heads,
+            c.encoder_dim // c.attention_heads, c.cnn_module_kernel - 1,
+            c.encoder_dim, self.dtype,
         )
 
     def forward_chunk(self, xs: jnp.ndarray, state: SqueezeformerStreamState):
@@ -350,18 +329,11 @@ class SqueezeformerEncoder(nn.Module):
         ys = ys * jnp.asarray(self.pe.xscale, ys.dtype)
         ys = self.preln(ys)
 
+        a0 = state.att[0][0].shape[1] * self.layer_factor(0)
+
         def rate_view(factor):
-            """(pos_emb, att_mask, chunk_f, a_f) at a given frame rate."""
-            a_f = state.att[0][0].shape[1] * self.layer_factor(0) // factor
-            chunk_f = chunk // factor
-            off_f = state.offset // factor
-            pos = self.pe.position_encoding(
-                (off_f - a_f) * factor, a_f + chunk_f, stride=factor
-            ).astype(ys.dtype)
-            valid = jnp.minimum(off_f, a_f)
-            j = jnp.arange(a_f + chunk_f)[None, None, :]
-            att_mask = jnp.broadcast_to(j >= (a_f - valid), (b, chunk_f, a_f + chunk_f))
-            return pos, att_mask
+            return _rate_view(self.pe, state.offset, a0, chunk, b, factor,
+                              ys.dtype)
 
         new_att = [None] * c.num_blocks
         new_cnn = [None] * c.num_blocks
@@ -379,17 +351,12 @@ class SqueezeformerEncoder(nn.Module):
                 up = jnp.repeat(ys, 2, axis=1)[:, : rec_ys.shape[1]]
                 ys = rec_ys + self.time_recover(up)
             k_cache, v_cache = state.att[i]
-            a_i = k_cache.shape[1]
             ys, (k_full, v_full), cnn_new = blk(
                 ys, att_mask, pos_emb, mask_pad=None,
                 att_cache=(k_cache, v_cache), cnn_cache=state.cnn[i],
                 deterministic=True,
             )
-            chunk_i = k_full.shape[1] - a_i
-            new_att[i] = (
-                (k_full[:, chunk_i:], v_full[:, chunk_i:]) if a_i > 0
-                else (k_full[:, :0], v_full[:, :0])
-            )
+            new_att[i] = roll_cache(k_full, v_full, k_cache.shape[1])
             new_cnn[i] = cnn_new if cnn_new is not None else state.cnn[i]
 
         if c.output_size != c.encoder_dim:

@@ -7,6 +7,13 @@ machine with the same outputs: CJK characters adjoin, `@@`-suffixed BPE
 pieces merge into the following word, completed English words are
 space-separated, and a CJK character directly after an English word absorbs
 the separating space.
+
+Two reference quirks are reproduced deliberately (both verified against the
+wenet branches): (1) a pending `@@` prefix interrupted by a CJK character is
+emitted with the *next* completed word, after the CJK character
+(search.py:95-100: `word_item` is not flushed on the CJK branch); (2) a
+hypothesis ending on an unterminated `@@` piece drops that fragment
+(neither branch flushes `word_item` after the loop).
 """
 
 from __future__ import annotations

@@ -126,12 +126,16 @@ def train_loop(
     train_losses, dev_losses = [], []
 
     cv_hook = None
-    if cfg.train.save_interval > 0 and dev_pipeline is not None:
+    if cfg.train.save_interval > 0:
         def cv_hook(cur_state, epoch, step):
-            cv_loss = run_eval(eval_fn, cur_state, dev_pipeline.batches(epoch),
-                               rng, mesh)
-            writer.scalar("cv/loss", cv_loss, step)
-            writer.log(f"epoch {epoch} step {step} cv_loss {cv_loss:.4f}")
+            # checkpoint regardless of CV availability (executor.py saves at
+            # save_interval whether or not a cv set is configured)
+            cv_loss = None
+            if dev_pipeline is not None:
+                cv_loss = run_eval(eval_fn, cur_state,
+                                   dev_pipeline.batches(epoch), rng, mesh)
+                writer.scalar("cv/loss", cv_loss, step)
+                writer.log(f"epoch {epoch} step {step} cv_loss {cv_loss:.4f}")
             if jax.process_index() == 0 and cfg.train.save_dir:
                 os.makedirs(cfg.train.save_dir, exist_ok=True)
                 save_checkpoint(
