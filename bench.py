@@ -157,6 +157,7 @@ def main():
     # programs, so this bounds what the chip does for this program where the
     # wall-clock median above is a tenancy lottery (stderr diagnostics only;
     # the JSON wall-clock median stays the number of record).
+    device_ms = None
     try:
         import tempfile
 
@@ -169,16 +170,30 @@ def main():
                     state, metrics = step(state, batch, rng)
                 jax.block_until_ready(metrics["loss"])
             print("[bench] device-resident step (trace):", file=sys.stderr)
-            report_device_time(td, 3, audio_seconds, out=sys.stderr)
+            device_ms = report_device_time(td, 3, audio_seconds, out=sys.stderr)
     except Exception as e:  # diagnostics must never break the JSON contract
         print(f"[bench] device-time trace skipped: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    # One JSON line. Required keys first; the extra keys make the recorded
+    # BENCH_rNN.json interpretable without the stderr tail (VERDICT r2 #7):
+    # window spread = tenancy variance on the shared chip, device_ms_per_step
+    # = contention-immune device-resident step time from the trace.
+    record = {
         "metric": "train_audio_seconds_per_second_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value, 2),
-    }))
+        "wall_step_ms_median": round(step_time * 1e3, 2),
+        "windows_audio_s_per_s_min": round(audio_seconds * n_steps / max(window_dts), 1),
+        "windows_audio_s_per_s_max": round(audio_seconds * n_steps / min(window_dts), 1),
+        "quiet_quartile_audio_s_per_s": round(quiet, 1),
+        "batch": batch_size,
+        "frames_per_utt": feats_t,
+    }
+    if device_ms:
+        record["device_ms_per_step"] = round(device_ms, 2)
+        record["device_audio_s_per_s"] = round(audio_seconds / device_ms * 1e3, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

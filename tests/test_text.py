@@ -81,3 +81,46 @@ def test_corpus_cer_aggregation():
     assert total.ref_len == 8
     assert total.errors == 1
     assert abs(total.cer - 1 / 8) < 1e-9
+
+
+def test_char_tokenizer_non_lang_syms():
+    """wenet/text/char_tokenizer.py:14-56: {xxx}/<xxx>/[xxx] symbols listed in
+    non_lang_syms survive as single tokens; unlisted brackets are char-split;
+    text is uppercased; spaces become the ▁ word-boundary char."""
+    tok = CharTokenizer(
+        tokens=["你", "好", "{NOISE}", "[BRK]", "▁", "A", "B"],
+        non_lang_syms=["{NOISE}", "[BRK]"],
+    )
+    assert tok.tokenize_text("你{NOISE}好") == ["你", "{NOISE}", "好"]
+    assert tok.tokenize_text("[BRK]你") == ["[BRK]", "你"]
+    # unlisted {FOO} is split into characters (wenet behavior)
+    assert tok.tokenize_text("{FOO}") == ["{", "F", "O", "O", "}"]
+    # inner spaces map to the word-boundary char; text is uppercased
+    assert tok.tokenize_text("a b") == ["A", "▁", "B"]
+
+
+def test_char_tokenizer_non_lang_syms_file(tmp_path):
+    p = tmp_path / "nls.txt"
+    p.write_text("{NOISE}\n<COUGH>\n", encoding="utf-8")
+    tok = CharTokenizer(tokens=["你", "{NOISE}", "<COUGH>"], non_lang_syms=str(p))
+    assert tok.non_lang_syms == ["{NOISE}", "<COUGH>"]
+    assert tok.tokenize_text("你<COUGH>") == ["你", "<COUGH>"]
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text("NOISE\n", encoding="utf-8")
+    import pytest
+
+    with pytest.raises(ValueError):
+        CharTokenizer(tokens=["你"], non_lang_syms=str(bad))
+
+
+def test_char_tokenizer_connect_symbol_and_split_with_space():
+    """wenet char_tokenizer.py:50-60: split_with_space treats text as
+    pre-tokenized on whitespace; connect_symbol joins tokens2text."""
+    tok = CharTokenizer(tokens=["NI", "HAO", "{NOISE}"],
+                        non_lang_syms=["{NOISE}"],
+                        split_with_space=True, connect_symbol=" ")
+    assert tok.tokenize_text("ni hao {NOISE}") == ["NI", "HAO", "{NOISE}"]
+    assert tok.tokens2text(["NI", "HAO"]) == "NI HAO"
+    tok2 = CharTokenizer(tokens=["你", "好"], connect_symbol="")
+    assert tok2.tokens2text(["你", "好"]) == "你好"

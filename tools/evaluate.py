@@ -22,7 +22,7 @@ def main():
                     default="rnnt")
     ap.add_argument("--mode",
                     choices=["ctc_greedy", "rnnt_greedy", "rnnt_beam",
-                             "ctc_prefix_beam", "attention",
+                             "rnnt_rescoring", "ctc_prefix_beam", "attention",
                              "attention_rescoring", "paraformer_greedy",
                              "paraformer_beam"],
                     default="rnnt_greedy")

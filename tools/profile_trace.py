@@ -73,7 +73,10 @@ def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float,
     On the time-shared chip, external tenants appear as gaps BETWEEN
     programs, not inflated op durations — so device time per step is a
     contention-immune throughput measurement where wall-clock (bench.py) is
-    a lottery. Also prints the top op families by device time."""
+    a lottery. Also prints the top op families by device time.
+
+    Returns the device-resident ms/step (None when the trace has no TPU
+    jit_train_step spans) so callers (bench.py) can embed it in their JSON."""
     import collections
     import glob
     import gzip
@@ -84,7 +87,7 @@ def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float,
     paths = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz"))
     if not paths:
         print("no trace json found; skipping device-time report", file=out)
-        return
+        return None
     with gzip.open(sorted(paths)[-1]) as f:
         events = json.load(f)["traceEvents"]
     names = {e["pid"]: e["args"]["name"] for e in events
@@ -108,7 +111,7 @@ def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float,
     if per_step <= 0.0:
         print("no jit_train_step spans on a TPU timeline in this trace; "
               "skipping device-time report", file=out)
-        return
+        return None
     print(f"device time: {per_step:.2f} ms/step "
           f"({audio_s_per_step / per_step * 1e3:.0f} audio-s/s/chip device-limited)",
           file=out)
@@ -116,6 +119,7 @@ def report_device_time(trace_dir: str, n_steps: int, audio_s_per_step: float,
     for fam, ms in fam_ms.most_common(12):
         print(f"  {ms / max(n_steps, 1):7.3f} ms x{fam_n[fam] // max(n_steps, 1):<6d} {fam[:80]}",
               file=out)
+    return per_step
 
 
 if __name__ == "__main__":

@@ -139,10 +139,21 @@ def main():
     )
     tx = make_optimizer(cfg.optim)
     state = TrainState.create(params, tx)
+    start_epoch, plateau_init = 0, None
     if args.resume:
-        from tpuasr.train.checkpoint import restore_checkpoint
+        from tpuasr.train.checkpoint import load_info, restore_checkpoint
 
         state = restore_checkpoint(args.resume, state)
+        try:
+            # resume-by-restart (run.py:164-179 parity): continue from the
+            # checkpointed epoch with the plateau tracker's decayed state
+            info = load_info(args.resume)
+            start_epoch = int(info.get("epoch", -1)) + 1
+            plateau_init = info.get("plateau")
+        except FileNotFoundError:
+            pass
+        print(f"resumed from {args.resume}: step {int(state.step)}, "
+              f"starting at epoch {start_epoch}")
 
     mesh = make_mesh(model_parallel_size=cfg.mesh.model_parallel_size)
     import contextlib
@@ -150,7 +161,8 @@ def main():
     with jax.set_mesh(mesh) if len(jax.devices()) > 1 else contextlib.nullcontext():
         result = train_loop(cfg, model, state, train_pipe, dev_pipe,
                             mesh=mesh if len(jax.devices()) > 1 else None,
-                            epochs=args.epochs)
+                            epochs=args.epochs, start_epoch=start_epoch,
+                            plateau_init=plateau_init)
     print("final train loss:", result.train_losses[-1] if result.train_losses else None)
 
 

@@ -31,6 +31,21 @@ class FeatureConfig:
 
 
 @dataclass
+class SpecAugConfig:
+    """SpecAugment time/frequency masking, applied on-device inside the
+    jitted train step (upstream wenet applies spec_aug in its dataset
+    pipeline, absent from the reference snapshot — SURVEY §0). The mask RNG
+    comes from the step's folded-in key, so it is SPMD-consistent across
+    data-parallel replicas like the dynamic-chunk RNG (nn/masks.py)."""
+
+    enabled: bool = False
+    num_t_masks: int = 2
+    num_f_masks: int = 2
+    max_t: int = 50
+    max_f: int = 10
+
+
+@dataclass
 class EncoderConfig:
     """Conformer encoder (reference: model/rnnt_model.py:90-109,
     model/online_rnnt_model.py:85-107, wenet/transformer/encoder.py:437-551)."""
@@ -223,6 +238,14 @@ class DataConfig:
     token_buckets: tuple = (16, 32, 48, 64)
     shuffle_seed: int = 0
     num_prefetch: int = 2
+    # synthetic stand-in corpus (--synthetic N on the CLIs): token-count range
+    # and per-token duration in feature frames. chord=two-tone encoding makes
+    # all vocab_size tokens acoustically unique (dev CER can reach 0; a single
+    # tone aliases every 97th token).
+    synth_min_tokens: int = 4
+    synth_max_tokens: int = 12
+    synth_frames_per_token: int = 24
+    synth_chord: bool = True
 
 
 @dataclass
@@ -272,6 +295,7 @@ class MeshConfig:
 @dataclass
 class Config:
     feature: FeatureConfig = field(default_factory=FeatureConfig)
+    specaug: SpecAugConfig = field(default_factory=SpecAugConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     ctc_model: CTCModelConfig = field(default_factory=CTCModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)

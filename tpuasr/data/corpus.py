@@ -88,13 +88,17 @@ def make_pipeline(
 
 
 def synthetic_pipeline(cfg: Config, n_utts: int = 64, seed: int = 0) -> LengthBucketPipeline:
-    """Synthetic stand-in corpus (no BZNSYP on disk) for smoke runs/benches."""
+    """Synthetic stand-in corpus (no BZNSYP on disk) for smoke runs, benches,
+    and the reference-protocol training campaign (knobs: cfg.data.synth_*)."""
     from tpuasr.data.synthetic import synth_corpus
 
+    d = cfg.data
     # long enough that even conv2d8 subsampling leaves T' >= 2U+1 (CTC feasible)
     utts = synth_corpus(
-        n_utts, cfg.model.vocab_size, seed=seed, min_tokens=4, max_tokens=12,
+        n_utts, cfg.model.vocab_size, seed=seed,
+        min_tokens=d.synth_min_tokens, max_tokens=d.synth_max_tokens,
         sample_rate=cfg.feature.sample_rate,
-        samples_per_token=24 * cfg.feature.hop_length,
+        samples_per_token=d.synth_frames_per_token * cfg.feature.hop_length,
+        chord=d.synth_chord,
     )
     return make_pipeline(utts, cfg)

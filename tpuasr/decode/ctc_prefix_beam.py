@@ -17,7 +17,9 @@ advances per frame in one fused program:
     compares instead of O(C^2 * Umax) token-array compares.
 
 Hotword ContextGraph biasing (wenet context_graph.py) hooks in at the
-extend-candidate scores; not yet implemented (SURVEY §7 step 9 long tail).
+extend-candidate scores via the `context_graph` argument below: each beam
+carries its dense Aho-Corasick state and accumulated bias, applied/backed-off
+exactly as wenet does at search.py:99-104, 169-231.
 """
 
 from __future__ import annotations

@@ -46,7 +46,8 @@ def evaluate_offline(
     batches: Iterable[dict],
     cfg: Config,
     tokenizer,
-    # transducer: ctc_greedy | rnnt_greedy | rnnt_beam
+    # transducer: ctc_greedy | ctc_prefix_beam | rnnt_greedy | rnnt_beam |
+    #             rnnt_rescoring (transducer-rescored CTC n-best)
     # aed (ASRModel): ctc_greedy | ctc_prefix_beam | attention |
     #                 attention_rescoring
     # paraformer: paraformer_greedy | paraformer_beam
@@ -116,6 +117,19 @@ def evaluate_offline(
                     ctc_weight=rescoring_ctc_weight,
                     reverse_weight=getattr(model.cfg, "reverse_weight", 0.0)
                     if getattr(model.cfg, "r_decoder_blocks", 0) > 0 else 0.0,
+                )
+            elif mode == "rnnt_rescoring":
+                # transducer rescoring of the CTC prefix-beam n-best
+                # (wenet transducer.py:215-395)
+                from tpuasr.decode.rnnt_rescoring import transducer_rescoring
+
+                _, _, (nb_tok, nb_len, nb_score) = ctc_prefix_beam_search(
+                    ctc_lp(enc), enc_lens, blank_id, beam_size, max_tokens
+                )
+                toks, tok_lens, _ = transducer_rescoring(
+                    model, params, enc, enc_lens, nb_tok, nb_len, nb_score,
+                    blank_id, transducer_weight=c.transducer_weight,
+                    ctc_weight=c.ctc_weight,
                 )
             elif mode == "rnnt_greedy":
                 toks, tok_lens = rnnt_greedy_decode(

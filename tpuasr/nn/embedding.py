@@ -56,17 +56,28 @@ class PositionalEncodingTable:
         `stride` indexes every stride-th table entry — used by reduced-rate
         encoder layers whose full-context forward samples ``pos_emb[:, ::f]``
         (squeezeformer/efficient-conformer time reduction).
+
+        Unbounded streams: when the window's end would pass `max_len`, the
+        whole window is rebased so it ends at the table top — relative
+        geometry *within* the window (chunk + its KV cache, the only span a
+        chunk step ever attends over) stays exact for arbitrarily long
+        streams. The reference instead hard-asserts at max_len
+        (wenet/transformer/embedding.py:80-118), capping streams at 5000
+        encoder frames; a plain clamp (the pre-round-3 behavior) silently
+        collapses every past-cap position onto one PE row.
         """
         table = jnp.asarray(self.table)
-        if isinstance(offset, int) and stride == 1:
-            assert offset + size <= self.max_len
+        if isinstance(offset, int) and stride == 1 and offset + size <= self.max_len:
             return table[offset : offset + size][None]
         offset = jnp.asarray(offset)
         idx = jnp.arange(size) * stride
+        span = (size - 1) * stride + 1  # window extent in table rows
         if offset.ndim == 0:
-            pos = jnp.clip(offset + idx, 0, self.max_len - 1)
+            shift = jnp.maximum(offset + span - self.max_len, 0)
+            pos = jnp.clip(offset - shift + idx, 0, self.max_len - 1)
             return jnp.take(table, pos, axis=0)[None]
-        pos = jnp.clip(offset[:, None] + idx[None, :], 0, self.max_len - 1)
+        shift = jnp.maximum(offset + span - self.max_len, 0)
+        pos = jnp.clip((offset - shift)[:, None] + idx[None, :], 0, self.max_len - 1)
         return jnp.take(table, pos, axis=0)  # [B, size, d]
 
     def add_abs(self, x: jnp.ndarray, offset=0) -> tuple[jnp.ndarray, jnp.ndarray]:

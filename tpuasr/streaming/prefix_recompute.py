@@ -1,13 +1,17 @@
 """Simulated streaming by prefix recomputation.
 
-For encoder families whose cached `forward_chunk` is not yet implemented
-(Squeezeformer's time-reduction caches, EfficientConformer's stride-aware
-caches — wenet has them; SURVEY §2.4), this driver produces *exact* streaming
-outputs by re-running the chunk-masked full forward over the growing prefix
-each chunk and emitting only the new frames. Semantics identical to a cached
+A fallback driver that produces *exact* streaming outputs for ANY encoder
+family — including non-causal configurations with no cached-chunk support —
+by re-running the chunk-masked full forward over the growing prefix each
+chunk and emitting only the new frames. Semantics identical to a cached
 implementation (the chunk attention mask guarantees frame t never sees future
-chunks); cost is O(T^2) instead of O(T x cache) — acceptable for evaluation
-and demos, with cached variants as the optimization path.
+chunks); cost is O(T^2) instead of O(T x cache).
+
+The production streaming path is the cached one: conformer ring caches live
+in streaming/chunkwise.py, and the squeezeformer / efficient-conformer
+multi-rate caches in streaming/family_cache.py (round 2). This module remains
+for evaluation of configs those caches don't cover and as the equivalence
+oracle in tests.
 """
 
 from __future__ import annotations

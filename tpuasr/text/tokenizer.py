@@ -89,11 +89,75 @@ class Tokenizer:
         return BLK
 
 
+import re
+
+# wenet non-linguistic-symbol shapes: {NOISE} / <NOISE> / [NOISE]
+# (wenet/text/char_tokenizer.py:22, wenet/utils/file_utils.py:47)
+_NON_LANG_RE = re.compile(r"(\[[^\[\]]+\]|<[^<>]+>|{[^{}]+})")
+
+
+def read_non_lang_symbols(path: str | None) -> list[str]:
+    """One symbol per line, each shaped {xxx}/<xxx>/[xxx]
+    (wenet/utils/file_utils.py `read_non_lang_symbols`:26-59)."""
+    if path is None:
+        return []
+    syms = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            sym = line.strip()
+            if not sym:
+                continue
+            if _NON_LANG_RE.fullmatch(sym) is None:
+                raise ValueError(
+                    f"non-linguistic symbol {sym!r} must be formatted "
+                    "{xxx}, <xxx>, or [xxx]"
+                )
+            syms.append(sym)
+    return syms
+
+
 class CharTokenizer(Tokenizer):
-    """Character-level tokenizer: splits raw text into characters, keeping
-    ``<...>`` bracketed symbols intact (wenet/text/char_tokenizer.py parity)."""
+    """Character-level tokenizer (wenet/text/char_tokenizer.py:9-79 parity).
+
+    `non_lang_syms` (a list or a file path, wenet file_utils.py
+    `read_non_lang_symbols`) protects bracketed symbols — ``{NOISE}``,
+    ``<NOISE>``, ``[NOISE]`` — from character splitting: the regex splits
+    them out first and only *listed* symbols survive as single tokens.
+    Without the list, any ``<...>`` span is kept intact (lenient default so
+    the framework's own specials round-trip; wenet would char-split them).
+    `connect_symbol` joins tokens back into text (`tokens2text`); spaces
+    inside text map to the ``▁`` word-boundary character as in wenet, and
+    `split_with_space` treats the text as pre-tokenized on whitespace."""
+
+    def __init__(self, vocab_file: str | None = None,
+                 tokens: Iterable[str] | None = None,
+                 non_lang_syms: str | list[str] | None = None,
+                 split_with_space: bool = False,
+                 connect_symbol: str = ""):
+        super().__init__(vocab_file, tokens)
+        if isinstance(non_lang_syms, str):
+            non_lang_syms = read_non_lang_symbols(non_lang_syms)
+        self.non_lang_syms = list(non_lang_syms or [])
+        self.split_with_space = split_with_space
+        self.connect_symbol = connect_symbol
 
     def tokenize_text(self, text: str) -> list[str]:
+        text = text.strip()
+        if self.non_lang_syms:
+            # wenet char_tokenizer.py:40-43: split protected symbols out
+            # (uppercased text, as wenet does), keep listed ones whole
+            parts = [p.strip() for p in _NON_LANG_RE.split(text.upper())
+                     if p.strip()]
+            tokens: list[str] = []
+            for part in parts:
+                if part in self.non_lang_syms:
+                    tokens.append(part)
+                    continue
+                units = part.split(" ") if self.split_with_space else part
+                for ch in units:
+                    tokens.append("▁" if ch == " " else ch)
+            return tokens
+        # lenient default: any <...> span survives as one token
         parts: list[str] = []
         i = 0
         while i < len(text):
@@ -107,6 +171,10 @@ class CharTokenizer(Tokenizer):
                 parts.append(text[i])
             i += 1
         return parts
+
+    def tokens2text(self, tokens: Sequence[str]) -> str:
+        """wenet char_tokenizer.py:59-60: join with `connect_symbol`."""
+        return self.connect_symbol.join(tokens)
 
     def encode_text(self, text: str) -> list[int]:
         return self(self.tokenize_text(text))

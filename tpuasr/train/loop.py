@@ -90,6 +90,8 @@ def train_loop(
     eval_fn: Optional[Callable] = None,
     mesh=None,
     epochs: Optional[int] = None,
+    start_epoch: int = 0,
+    plateau_init: Optional[dict] = None,
 ) -> LoopResult:
     from tpuasr.train.optim import make_optimizer
     from tpuasr.train.step import make_eval_step, make_train_step
@@ -121,6 +123,14 @@ def train_loop(
 
         save_yaml(cfg, os.path.join(cfg.train.save_dir, "train.yaml"))
     plateau = PlateauTracker(cfg.optim.plateau_factor, cfg.optim.plateau_patience)
+    if plateau_init:
+        # resume-by-restart (reference run.py:164-179 + wenet
+        # scheduler.set_step parity): the plateau tracker's best/bad/scale
+        # come back from the checkpoint info so a restored run keeps its
+        # decayed LR instead of resetting to 1.0
+        plateau.best = float(plateau_init.get("best", plateau.best))
+        plateau.bad_epochs = int(plateau_init.get("bad_epochs", 0))
+        plateau.scale = float(plateau_init.get("scale", 1.0))
     rng = root_key(cfg.train.seed, cfg.train.rng_impl)
     timer = StepTimer()
     train_losses, dev_losses = [], []
@@ -145,7 +155,7 @@ def train_loop(
                 )
 
     n_epochs = epochs if epochs is not None else cfg.train.epochs
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         state, train_loss = run_epoch(
             step_fn, state, train_pipeline.batches(epoch), rng, writer, cfg, timer,
             epoch, mesh, cv_hook,
@@ -170,6 +180,9 @@ def train_loop(
                 "train_loss": train_loss,
                 "dev_loss": dev_losses[-1] if dev_losses else None,
                 "skipped": int(state.skipped),
+                "plateau": {"best": plateau.best,
+                            "bad_epochs": plateau.bad_epochs,
+                            "scale": plateau.scale},
             }
             save_checkpoint(latest_path(cfg.train.save_dir), state, info)
             if (epoch + 1) % cfg.train.save_every_epochs == 0:

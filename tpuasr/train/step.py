@@ -45,9 +45,18 @@ class TrainState(struct.PyTreeNode):
 
 
 def _batch_forward(model, cfg: Config, variables, batch, rng, deterministic):
-    """waves -> features -> model loss dict."""
+    """waves -> features -> [spec_augment] -> model loss dict."""
     feats, feat_lens = fbank_batch(batch["waves"], batch["wave_lens"], cfg.feature)
-    dropout_rng, chunk_rng, sampler_rng = jax.random.split(rng, 3)
+    dropout_rng, chunk_rng, sampler_rng, specaug_rng = jax.random.split(rng, 4)
+    if not deterministic and cfg.specaug.enabled:
+        from tpuasr.audio.specaug import spec_augment
+
+        sa = cfg.specaug
+        feats = spec_augment(
+            specaug_rng, feats, feat_lens,
+            num_t_masks=sa.num_t_masks, num_f_masks=sa.num_f_masks,
+            max_t=sa.max_t, max_f=sa.max_f,
+        )
     kwargs = dict(
         chunk_rng=chunk_rng,
         deterministic=deterministic,
