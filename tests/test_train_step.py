@@ -304,3 +304,73 @@ def test_specaug_dp_matches_single_device(setup):
     np.testing.assert_allclose(
         float(m_single["loss"]), float(m_dp["loss"]), rtol=2e-5
     )
+
+
+def test_guarded_adam_matches_optax_chain(setup):
+    """GuardedAdam (guard fused into the update kernels) must reproduce the
+    optax chain + post-update select trajectory exactly, including a skipped
+    non-finite batch mid-run."""
+    import optax
+
+    from tpuasr.train.optim import GuardedAdam, _optax_chain
+
+    cfg, model, tx0, state0, batch = setup
+    bad = dict(batch)
+    bad["waves"] = batch["waves"].copy()
+    bad["waves"][0, 0] = np.nan
+    schedule = [batch, batch, bad, batch]
+
+    def run(tx):
+        state = TrainState.create(state0.params, tx)
+        state = state.replace(lr_scale=jnp.asarray(0.7, jnp.float32))
+        step = make_train_step(model, tx, cfg, donate=False)
+        rng = jax.random.PRNGKey(3)
+        for b in schedule:
+            state, m = step(state, b, rng)
+        return state
+
+    fused = run(GuardedAdam(cfg.optim))
+    ref = run(_optax_chain(cfg.optim))
+
+    assert int(fused.skipped) == int(ref.skipped) == 1
+    # the two paths compile different programs, so the gradients themselves
+    # differ at ~1 ulp; compare with a scale-aware tolerance (the bit-level
+    # equivalence of the optimizer math is test_guarded_adam_unit_exact)
+    for a, b in zip(jax.tree.leaves(fused.params), jax.tree.leaves(ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    # adam count advanced only on the 3 applied steps
+    assert int(fused.opt_state.count) == 3
+
+
+def test_guarded_adam_unit_exact():
+    """With identical injected gradients, GuardedAdam reproduces the optax
+    chain (clip -> L2 decay -> amsgrad -> warmup schedule) + lr_scale +
+    post-select guard to float rounding, including the skipped-step revert."""
+    import optax
+
+    from tpuasr.config import OptimConfig
+    from tpuasr.train.optim import GuardedAdam, _optax_chain
+
+    ocfg = OptimConfig(lr=3e-3, warmup_steps=10)
+    r = np.random.default_rng(0)
+    params = {"w": jnp.asarray(r.standard_normal((8, 5)), jnp.float32),
+              "b": jnp.zeros((5,), jnp.float32)}
+
+    ga = GuardedAdam(ocfg)
+    tx = _optax_chain(ocfg)
+    sa, so = ga.init(params), tx.init(params)
+    pa, po = dict(params), dict(params)
+    for i in range(5):
+        g = {"w": jnp.asarray(np.random.default_rng(9 + i).standard_normal((8, 5)) * 3, jnp.float32),
+             "b": jnp.asarray(np.random.default_rng(90 + i).standard_normal(5) * 1e-3, jnp.float32)}
+        finite = jnp.asarray(i != 2)  # step 2 is "non-finite": both must skip
+        pa, sa = ga.update_guarded(g, sa, pa, finite, lr_scale=jnp.asarray(0.7))
+        u, so_new = tx.update(g, so, po)
+        u = jax.tree.map(lambda x: x * 0.7, u)
+        po_new = optax.apply_updates(po, u)
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(finite, x, y), a, b)
+        po, so = sel(po_new, po), sel(so_new, so)
+        for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(po)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-9)
+    assert int(sa.count) == 4  # one skipped

@@ -19,6 +19,12 @@ def main():
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--frames", type=int, default=768)
+    ap.add_argument("--hlo", default="",
+                    help="also dump the optimized HLO text here (op names in "
+                         "the trace — fusion.NNNN — resolve against it)")
+    ap.add_argument("--no_donate", action="store_true",
+                    help="disable buffer donation (default matches bench.py: "
+                         "donated, rbg rng)")
     args = ap.parse_args()
 
     import jax
@@ -35,6 +41,7 @@ def main():
     cfg.model.encoder.use_dynamic_chunk = True
     cfg.model.encoder.static_chunk_size = 32
     cfg.model.fused_joint_loss = args.fused
+    cfg.model.encoder.fused_attention = args.fused
 
     model = Transducer(cfg.model)
     bsz, frames = args.batch, args.frames
@@ -49,8 +56,20 @@ def main():
                         batch["texts"], batch["text_lens"])
     tx = make_optimizer(cfg.optim)
     state = TrainState.create(params, tx)
-    step = make_train_step(model, tx, cfg, donate=False)
-    rng = jax.random.PRNGKey(1)
+    # match bench.py's measured configuration: donated buffers + hardware-RBG
+    # rng (donate=False + threefry measures ~5 ms/step slower and would
+    # misattribute the overhead to the model)
+    step = make_train_step(model, tx, cfg, donate=not args.no_donate)
+    from tpuasr.utils.rng import root_key
+
+    rng = root_key(1, cfg.train.rng_impl)
+
+    # AOT-compile once; the executable serves the HLO dump and the timed steps
+    step = step.lower(state, batch, rng).compile()
+    if args.hlo:
+        with open(args.hlo, "w") as f:
+            f.write(step.as_text())
+        print(f"optimized HLO written to {args.hlo}")
 
     state, m = step(state, batch, rng)
     jax.block_until_ready(m["loss"])

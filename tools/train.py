@@ -204,13 +204,22 @@ def _train_ctc(cfg, tokenizer, train_pipe, dev_pipe, args):
         (loss), grads = jax.value_and_grad(loss_fn)(state.params["params"])
         gn = optax.global_norm(grads)
         finite = jax.numpy.isfinite(loss) & jax.numpy.isfinite(gn)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params["params"])
-        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
-        new_params = optax.apply_updates(state.params["params"], updates)
-        sel = lambda a, b2: jax.tree.map(lambda x, y: jax.numpy.where(finite, x, y), a, b2)
+        if hasattr(tx, "update_guarded"):
+            new_params, opt_state = tx.update_guarded(
+                grads, state.opt_state, state.params["params"], finite,
+                lr_scale=state.lr_scale, grad_norm=gn,
+            )
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params["params"])
+            updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
+            new_params = optax.apply_updates(state.params["params"], updates)
+            sel = lambda a, b2: jax.tree.map(
+                lambda x, y: jax.numpy.where(finite, x, y), a, b2)
+            new_params = sel(new_params, state.params["params"])
+            opt_state = sel(opt_state, state.opt_state)
         return state.replace(
-            params={**state.params, "params": sel(new_params, state.params["params"])},
-            opt_state=sel(opt_state, state.opt_state),
+            params={**state.params, "params": new_params},
+            opt_state=opt_state,
             step=state.step + 1,
             skipped=state.skipped + (1 - finite.astype(jax.numpy.int32)),
         ), {

@@ -69,6 +69,11 @@ class EncoderConfig:
     # GQA/MQA: number of key/value heads (0 = attention_heads; 1 = MQA).
     # Supported by mha and rope attention types.
     n_kv_head: int = 0
+    # Pallas fused rel-pos attention for the full-context/training path
+    # (tpuasr.ops.attention_pallas): scores+mask+softmax+AV stay in VMEM.
+    # Requires attention_dropout_rate == 0 (reference protocol); the
+    # streaming cached path is unaffected.
+    fused_attention: bool = False
     normalize_before: bool = True
     macaron_style: bool = True
     use_cnn_module: bool = True

@@ -37,12 +37,18 @@ def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndar
 
 
 class RelPositionMultiHeadedAttention(nn.Module):
-    """Self-attention with u/v positional biases (no rel_shift)."""
+    """Self-attention with u/v positional biases (no rel_shift).
+
+    `fused=True` routes the full-context path (no KV cache, mask present,
+    no attention dropout) through the Pallas fused kernel
+    (tpuasr.ops.attention_pallas): scores + mask + softmax + AV stay in VMEM
+    per (batch, head) instead of round-tripping [B, H, T, S] through HBM."""
 
     n_head: int
     n_feat: int
     dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     def setup(self):
         assert self.n_feat % self.n_head == 0
@@ -82,8 +88,26 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
         p = self.linear_pos(pos_emb).reshape(pos_emb.shape[0], t2, h, dk)
 
+        if (self.fused and cache is None and mask is not None
+                and self.dropout_rate == 0.0 and p.shape[0] == 1):
+            from tpuasr.ops.attention_pallas import fused_relpos_attention
+
+            # kernel works in the flat [B, T, H*dk] layout (heads are lane
+            # slices) and adds the u/v biases in VMEM itself
+            out = fused_relpos_attention(
+                q.reshape(b, t1, h * dk),
+                k.reshape(b, t2, h * dk),
+                p.reshape(1, t2, h * dk),
+                v.reshape(b, t2, h * dk),
+                self.pos_bias_u.astype(q.dtype).reshape(-1),
+                self.pos_bias_v.astype(q.dtype).reshape(-1),
+                mask, 1.0 / math.sqrt(dk), h,
+            )
+            return self.linear_out(out), new_cache
+
         q_u = q + self.pos_bias_u.astype(q.dtype)[None, None]
         q_v = q + self.pos_bias_v.astype(q.dtype)[None, None]
+
         # content score (matrix a+c) and position score (matrix b+d, no shift)
         ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
         bd = jnp.einsum("bthd,pshd->bhts", q_v, p)  # p batch dim broadcasts

@@ -175,7 +175,8 @@ class ConformerBlock(nn.Module):
         n_kv = getattr(c, "n_kv_head", 0)
         if att_type == "rel_pos":
             self.self_attn = RelPositionMultiHeadedAttention(
-                c.attention_heads, d, c.attention_dropout_rate, self.dtype, name="self_attn"
+                c.attention_heads, d, c.attention_dropout_rate, self.dtype,
+                fused=getattr(c, "fused_attention", False), name="self_attn"
             )
         elif att_type == "shaw_rel_pos":
             self.self_attn = ShawRelPositionMultiHeadedAttention(

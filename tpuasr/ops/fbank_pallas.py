@@ -23,6 +23,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fbank_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref, out_ref, *, amin):
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions (HIGH raises
+    # NotImplementedError); HIGHEST keeps the DFT at f32 accuracy.
     hi = jax.lax.Precision.HIGHEST
     fw = frames_ref[:] * window_ref[:]  # [Tb, n_fft]
     re = jnp.dot(fw, cos_ref[:], preferred_element_type=jnp.float32, precision=hi)

@@ -1,3 +1,4 @@
+from tpuasr.parallel.decode import make_sharded_streaming_decode
 from tpuasr.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -18,4 +19,5 @@ __all__ = [
     "train_state_shardings",
     "shard_train_state",
     "assert_sharded",
+    "make_sharded_streaming_decode",
 ]

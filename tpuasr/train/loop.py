@@ -33,18 +33,24 @@ class LoopResult:
 
 def run_epoch(step_fn, state, batches: Iterable[dict], rng, writer: MetricsWriter,
               cfg: Config, timer: StepTimer, epoch: int, mesh=None, cv_hook=None):
+    # step counted host-side so the loop stays async: materializing
+    # state.step (or the loss) every iteration would force a device
+    # round-trip per step, which on a tunneled chip caps throughput at the
+    # link latency instead of the device step time. Losses stay as device
+    # scalars until the epoch mean; only log points synchronize.
     losses = []
+    step = int(state.step)
     for batch in batches:
+        audio_s = float(np.sum(batch["wave_lens"])) / cfg.feature.sample_rate
         db = device_view(batch)
         if mesh is not None:
             from tpuasr.parallel import shard_batch
 
             db = shard_batch(db, mesh)
         state, metrics = step_fn(state, db, rng)
-        loss = float(metrics["loss"])
-        losses.append(loss)
-        timer.tick(float(metrics["audio_seconds"]))
-        step = int(state.step)
+        losses.append(metrics["loss"])
+        timer.tick(audio_s)
+        step += 1
         if cv_hook is not None and cfg.train.save_interval > 0 \
                 and step % cfg.train.save_interval == 0:
             # step-interval CV + checkpoint inside the epoch
@@ -58,9 +64,10 @@ def run_epoch(step_fn, state, batches: Iterable[dict], rng, writer: MetricsWrite
             writer.scalar("train/steps_per_second", timer.steps_per_second, step)
             writer.scalar("train/audio_seconds_per_second", timer.audio_seconds_per_second, step)
             writer.log(
-                f"epoch {epoch} step {step} loss {loss:.4f} "
+                f"epoch {epoch} step {step} loss {float(metrics['loss']):.4f} "
                 f"({timer.audio_seconds_per_second:.1f} audio-s/s)"
             )
+    losses = [float(l) for l in losses]
     return state, float(np.mean(losses)) if losses else float("nan")
 
 
