@@ -124,3 +124,36 @@ def test_char_tokenizer_connect_symbol_and_split_with_space():
     assert tok.tokens2text(["NI", "HAO"]) == "NI HAO"
     tok2 = CharTokenizer(tokens=["你", "好"], connect_symbol="")
     assert tok2.tokens2text(["你", "好"]) == "你好"
+
+
+def test_huggingface_tokenizer_executes(tmp_path, monkeypatch):
+    """The HuggingFaceTokenizer wrapper (wenet/text/hugging_face_tokenizer.py
+    role) running for real: transformers AutoTokenizer loaded from a local
+    BertTokenizer directory (no hub access), full ABC surface."""
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    (tmp_path / "vocab.txt").write_text(
+        "[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\nhello\nworld\nhel\n##lo\n##world\n",
+        encoding="utf-8")
+    (tmp_path / "tokenizer_config.json").write_text(
+        '{"tokenizer_class": "BertTokenizer", "do_lower_case": true}',
+        encoding="utf-8")
+
+    from tpuasr.text.tokenizers_ext import HuggingFaceTokenizer
+
+    tok = HuggingFaceTokenizer(str(tmp_path))
+    toks = tok.text2tokens("hello world")
+    assert toks == ["hello", "world"]
+    ids = tok.tokens2ids(toks)
+    assert ids == [5, 6]
+    assert tok.ids2tokens(ids) == toks
+    assert tok.tokens2text(toks) == "hello world"
+    assert tok.vocab_size() == 10
+    assert tok.symbol_table["##lo"] == 8
+    # wordpiece greedy longest-match continuation
+    assert tok.text2tokens("helloworld") == ["hello", "##world"]
+    # pickling drops the built tokenizer and lazily rebuilds (worker contract)
+    import pickle
+
+    tok2 = pickle.loads(pickle.dumps(tok))
+    assert tok2.tokenizer is None
+    assert tok2.text2tokens("hello") == ["hello"]

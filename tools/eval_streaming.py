@@ -19,6 +19,8 @@ def main():
     ap.add_argument("--config", default=None)
     ap.add_argument("--set", nargs="*", default=[])
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=1,
+                    help="synthetic corpus seed (train pipes use 0, dev 1 — tools/train.py)")
     ap.add_argument("--data_root", default="")
     args = ap.parse_args()
 
@@ -42,7 +44,7 @@ def main():
         from tpuasr.data.corpus import synthetic_pipeline
 
         tokenizer = Tokenizer(tokens=[f"syl{i}" for i in range(cfg.model.vocab_size - 6)])
-        pipe = synthetic_pipeline(cfg, args.synthetic, seed=1)
+        pipe = synthetic_pipeline(cfg, args.synthetic, seed=args.seed)
     else:
         from tpuasr.data.corpus import make_pipeline, scan_split
 

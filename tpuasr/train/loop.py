@@ -121,7 +121,10 @@ def train_loop(
     if eval_fn is None:
         eval_fn = make_eval_step(model, cfg)
 
-    writer = MetricsWriter(cfg.train.log_dir, os.path.join(cfg.train.save_dir, "log.txt"))
+    writer = MetricsWriter(
+        cfg.train.log_dir,
+        os.path.join(cfg.train.save_dir, "log.txt") if cfg.train.save_dir else None,
+    )
     if jax.process_index() == 0 and cfg.train.save_dir:
         # reproducible-inference config snapshot (wenet train.yaml parity,
         # train_utils.py:352-357)

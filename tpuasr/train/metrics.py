@@ -20,13 +20,14 @@ class MetricsWriter:
         self.tb = None
         self.text = None
         if self.enabled:
-            os.makedirs(log_dir, exist_ok=True)
-            try:
-                from tensorboardX import SummaryWriter
+            if log_dir:  # empty = console-only (no tensorboard event files)
+                os.makedirs(log_dir, exist_ok=True)
+                try:
+                    from tensorboardX import SummaryWriter
 
-                self.tb = SummaryWriter(log_dir)
-            except Exception:
-                self.tb = None
+                    self.tb = SummaryWriter(log_dir)
+                except Exception:
+                    self.tb = None
             if text_log:
                 os.makedirs(os.path.dirname(text_log) or ".", exist_ok=True)
                 self.text = open(text_log, "a", encoding="utf-8")
