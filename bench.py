@@ -37,8 +37,9 @@ import numpy as np
 def main():
     import jax
 
-    from tpuasr.utils.compile_cache import enable_compilation_cache
+    from tpuasr.utils.compile_cache import enable_compilation_cache, enable_stack_dumps
 
+    enable_stack_dumps()
     enable_compilation_cache()  # reuse compiled steps across bench runs
 
     from tpuasr.config import Config

@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Full decode-mode CER sweep over a trained campaign checkpoint
+# (reference protocol: rnnt_eval.py:98-117 offline modes +
+# online_rnnt_eval.py:114-142 streaming greedy/beam).
+#
+#   bash tools/campaign_eval.sh exp/campaign/ckpt_best 4096 [extra --set ...]
+#
+# Runs every decode mode on the held-out dev split (seed 1) and the offline
+# modes on a train-split sample (seed 0) so held-in vs held-out CER is
+# visible. One process per mode keeps the shared-tunnel allocator clean
+# (docs/RESULTS.md "large-batch fused anomalies").
+set -uo pipefail
+CKPT=${1:?checkpoint dir}
+N=${2:-4096}
+shift 2 || true
+DEVN=$(( N / 8 )); [ "$DEVN" -lt 4 ] && DEVN=4
+cd "$(dirname "$0")/.."
+
+run() {
+  echo "===== $* ====="
+  timeout 1200 python "$@" 2>&1 | grep -v -i warning | tail -8
+}
+
+for MODE in ctc_greedy ctc_prefix_beam rnnt_greedy rnnt_beam rnnt_rescoring; do
+  run tools/evaluate.py --checkpoint "$CKPT" --workload online_rnnt \
+    --mode "$MODE" --synthetic "$DEVN" --seed 1 "$@"
+done
+# streaming greedy + beam-4 (one CLI reports both + relative improvement)
+run tools/eval_streaming.py --checkpoint "$CKPT" \
+  --synthetic "$DEVN" --seed 1 "$@"
+# held-in train-split sample (seed 0): protocol expects train CER ~ 0
+for MODE in rnnt_greedy ctc_greedy; do
+  run tools/evaluate.py --checkpoint "$CKPT" --workload online_rnnt \
+    --mode "$MODE" --synthetic "$DEVN" --seed 0 "$@"
+done

@@ -24,8 +24,9 @@ def main():
 
     import jax
 
-    from tpuasr.utils.compile_cache import enable_compilation_cache
+    from tpuasr.utils.compile_cache import enable_compilation_cache, enable_stack_dumps
 
+    enable_stack_dumps()
     enable_compilation_cache()  # TPUASR_COMPILE_CACHE=off to disable
     import jax.numpy as jnp
 

@@ -25,8 +25,9 @@ def main():
 
     import jax
 
-    from tpuasr.utils.compile_cache import enable_compilation_cache
+    from tpuasr.utils.compile_cache import enable_compilation_cache, enable_stack_dumps
 
+    enable_stack_dumps()
     enable_compilation_cache()  # TPUASR_COMPILE_CACHE=off to disable
 
     from tools.train import build_model, parse_overrides

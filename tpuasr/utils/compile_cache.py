@@ -17,6 +17,18 @@ DEFAULT_DIR = os.path.join(
 )
 
 
+def enable_stack_dumps() -> None:
+    """SIGUSR1 dumps every thread's Python stack to stderr (hung-RPC triage
+    on the tunneled chip: `kill -USR1 <pid>` is non-fatal)."""
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError, OSError):
+        pass  # non-main thread / platform without SIGUSR1
+
+
 def enable_compilation_cache(cache_dir: str | None = None,
                              min_compile_secs: float = 2.0) -> str | None:
     """Turn on JAX's persistent compilation cache (idempotent).
