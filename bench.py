@@ -61,6 +61,10 @@ def main():
     # recomputed in the bwd kernel): tests/test_fused_attention.py exactness;
     # 18.3 -> 10.8 ms/step device-resident in the same trace session
     cfg.model.encoder.fused_attention = True
+    # one scanned block body over stacked params instead of 12 unrolled
+    # program clones (r03 trace: 2,365 fusion + 3,390 copy invocations/step
+    # from per-layer duplication); exactness: tests/test_scan_layers.py
+    cfg.model.encoder.scan_layers = True
 
     batch_size = 12  # reference protocol (rnnt_common.py:9)
     frames = 768  # ~8.2 s per utterance at 48 kHz / hop 512

@@ -8,17 +8,25 @@
 # Runs every decode mode on the held-out dev split (seed 1) and the offline
 # modes on a train-split sample (seed 0) so held-in vs held-out CER is
 # visible. One process per mode keeps the shared-tunnel allocator clean
-# (docs/RESULTS.md "large-batch fused anomalies").
+# (docs/RESULTS.md "large-batch fused anomalies"). The eval CLIs pick up the
+# architecture from the persisted save_dir/train.yaml automatically.
 set -uo pipefail
 CKPT=${1:?checkpoint dir}
 N=${2:-4096}
-shift 2 || true
+shift $(( $# >= 2 ? 2 : $# ))
 DEVN=$(( N / 8 )); [ "$DEVN" -lt 4 ] && DEVN=4
 cd "$(dirname "$0")/.."
+FAILED=0
 
 run() {
   echo "===== $* ====="
   timeout 1200 python "$@" 2>&1 | grep -v -i warning | tail -8
+  local rc=${PIPESTATUS[0]}
+  if [ "$rc" -ne 0 ]; then
+    FAILED=$((FAILED + 1))
+    if [ "$rc" -eq 124 ]; then echo "***** TIMEOUT (1200s): $*"
+    else echo "***** FAILED (rc=$rc): $*"; fi
+  fi
 }
 
 for MODE in ctc_greedy ctc_prefix_beam rnnt_greedy rnnt_beam rnnt_rescoring; do
@@ -33,3 +41,8 @@ for MODE in rnnt_greedy ctc_greedy; do
   run tools/evaluate.py --checkpoint "$CKPT" --workload online_rnnt \
     --mode "$MODE" --synthetic "$DEVN" --seed 0 "$@"
 done
+if [ "$FAILED" -ne 0 ]; then
+  echo "===== sweep finished with $FAILED failed mode(s) ====="
+  exit 1
+fi
+echo "===== sweep complete: all modes ok ====="

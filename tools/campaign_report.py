@@ -66,9 +66,17 @@ def main():
     print("|---|---|---|---|---|")
     prev_t = None
     decays = []
+    walls = [(b["time"] - a["time"]).total_seconds()
+             for a, b in zip(rows, rows[1:])]
+    median_wall = sorted(walls)[len(walls) // 2] if walls else 0
     for r in rows:
         wall = (r["time"] - prev_t).total_seconds() if prev_t else None
         prev_t = r["time"]
+        # across a resume the delta spans downtime between runs (dedup keeps
+        # the last occurrence), and out-of-order log files give negatives —
+        # mark instead of reporting a bogus wall-clock
+        if wall is not None and (wall < 0 or wall > 5 * max(median_wall, 1)):
+            wall = None
         if r["scale"] is not None and decays and r["scale"] < decays[-1][1]:
             decays.append((r["epoch"], r["scale"]))
         elif r["scale"] is not None and not decays:

@@ -36,8 +36,15 @@ def main():
     from tpuasr.eval import evaluate_streaming
     from tpuasr.text import Tokenizer
     from tpuasr.train import TrainState, make_optimizer
-    from tpuasr.train.checkpoint import restore_checkpoint
+    from tpuasr.train.checkpoint import (
+        find_effective_config, restore_checkpoint_migrating,
+    )
 
+    if args.config is None:
+        # resolved post-mutation config persisted by train_loop (train.yaml)
+        args.config = find_effective_config(args.checkpoint)
+        if args.config:
+            print(f"effective config: {args.config}")
     cfg = load_yaml(args.config) if args.config else Config()
     cfg = override(cfg, parse_overrides(args.set))
 
@@ -65,7 +72,9 @@ def main():
         first["texts"], first["text_lens"],
     )
     tx = make_optimizer(cfg.optim)
-    state = restore_checkpoint(args.checkpoint, TrainState.create(params0, tx))
+    state = restore_checkpoint_migrating(
+        args.checkpoint, TrainState.create(params0, tx),
+        cfg.model.encoder.num_blocks)
 
     res = evaluate_streaming(model, state.params, pipe.batches(0), cfg, tokenizer,
                              beam_size=args.beam_size)

@@ -51,8 +51,16 @@ def main():
     from tpuasr.eval import evaluate_offline
     from tpuasr.text import Tokenizer
     from tpuasr.train import TrainState, make_optimizer
-    from tpuasr.train.checkpoint import restore_checkpoint
+    from tpuasr.train.checkpoint import (
+        find_effective_config, restore_checkpoint_migrating,
+    )
 
+    if args.config is None:
+        # train_loop persists the resolved post-mutation config next to the
+        # checkpoints; load it so eval needs no architecture flags
+        args.config = find_effective_config(args.checkpoint)
+        if args.config:
+            print(f"effective config: {args.config}")
     cfg = load_yaml(args.config) if args.config else Config()
     cfg = override(cfg, parse_overrides(args.set))
 
@@ -80,7 +88,9 @@ def main():
         first["texts"], first["text_lens"],
     )
     tx = make_optimizer(cfg.optim)
-    state = restore_checkpoint(args.checkpoint, TrainState.create(params0, tx))
+    state = restore_checkpoint_migrating(
+        args.checkpoint, TrainState.create(params0, tx),
+        cfg.model.encoder.num_blocks)
 
     res = evaluate_offline(model, state.params, pipe.batches(0), cfg, tokenizer,
                            mode=args.mode, beam_size=args.beam_size,

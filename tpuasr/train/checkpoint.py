@@ -57,6 +57,73 @@ def _from_pytree(restored, target):
     return restored
 
 
+def _walk(x, fn):
+    """Structure-preserving recursion over a pytree of dicts / (named)tuples /
+    lists / dataclass nodes, applying `fn` to every dict node (which may
+    change its keys) before descending."""
+    import dataclasses
+
+    if isinstance(x, dict):
+        return {k: _walk(v, fn) for k, v in fn(x).items()}
+    if isinstance(x, tuple) and hasattr(x, "_fields"):  # NamedTuple
+        return type(x)(*(_walk(v, fn) for v in x))
+    if isinstance(x, (list, tuple)):
+        return type(x)(_walk(v, fn) for v in x)
+    if dataclasses.is_dataclass(x) and not isinstance(x, (np.ndarray, jax.Array)):
+        return dataclasses.replace(
+            x, **{f.name: _walk(getattr(x, f.name), fn)
+                  for f in dataclasses.fields(x)})
+    return x
+
+
+def restore_checkpoint_migrating(path: str, target: Any, num_blocks: int) -> Any:
+    """Restore a checkpoint into `target`, converting between the unrolled
+    (block0..block{L-1}) and scanned (layers/block, stacked [L]) encoder
+    parameter layouts if the stored layout differs (encoder.scan_layers flip
+    — nn/conformer.py). Optimizer-moment trees mirror the params tree, so the
+    same dict-level rewrite covers the whole TrainState."""
+    from tpuasr.nn.conformer import stack_layer_params, unstack_layer_params
+
+    try:
+        return restore_checkpoint(path, target)
+    except Exception:
+        pass
+
+    def has_scanned(d):
+        return isinstance(d.get("layers"), dict) and "block" in d["layers"]
+
+    def has_unrolled(d):
+        return "block0" in d and isinstance(d["block0"], dict)
+
+    # target scanned <- checkpoint unrolled: restore into an unstacked view
+    # of the target, then restack. (And the mirror case.)
+    unstack = lambda d: unstack_layer_params(d, num_blocks) if has_scanned(d) else d
+    stack = lambda d: stack_layer_params(d, num_blocks) if has_unrolled(d) else d
+    alt_target = _walk(target, unstack)
+    try:
+        restored = restore_checkpoint(path, alt_target)
+        return _walk(restored, stack)
+    except Exception:
+        # checkpoint scanned <- target unrolled
+        alt_target = _walk(target, stack)
+        restored = restore_checkpoint(path, alt_target)
+        return _walk(restored, unstack)
+
+
+def find_effective_config(ckpt_path: str) -> str | None:
+    """Locate the resolved config train_loop persisted beside a checkpoint
+    (save_dir/train.yaml — wenet train_utils.py:352-357 parity). Checked in
+    the checkpoint dir itself, then its parent (checkpoints live one level
+    under save_dir). Returns None if absent so CLIs fall back to flags."""
+    ckpt_path = _abs(ckpt_path)
+    for base in (ckpt_path, os.path.dirname(ckpt_path)):
+        for name in ("train.yaml", "config.yaml"):
+            cand = os.path.join(base, name)
+            if os.path.exists(cand):
+                return cand
+    return None
+
+
 def latest_path(save_dir: str, name: str = "latest") -> str:
     return os.path.join(save_dir, name)
 
