@@ -20,7 +20,9 @@ FAILED=0
 
 run() {
   echo "===== $* ====="
-  timeout 1200 python "$@" 2>&1 | grep -v -i warning | tail -8
+  # keep the CER headline + all sample pairs (the CLIs print the metric
+  # lines before up to 4 REF/HYP sample pairs — tail must cover both)
+  timeout 1200 python "$@" 2>&1 | grep -v -i warning | tail -24
   local rc=${PIPESTATUS[0]}
   if [ "$rc" -ne 0 ]; then
     FAILED=$((FAILED + 1))
