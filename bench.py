@@ -61,10 +61,12 @@ def main():
     # recomputed in the bwd kernel): tests/test_fused_attention.py exactness;
     # 18.3 -> 10.8 ms/step device-resident in the same trace session
     cfg.model.encoder.fused_attention = True
-    # one scanned block body over stacked params instead of 12 unrolled
-    # program clones (r03 trace: 2,365 fusion + 3,390 copy invocations/step
-    # from per-layer duplication); exactness: tests/test_scan_layers.py
-    cfg.model.encoder.scan_layers = True
+    # scan_layers measured SLOWER device-resident on v5e (10.76 unrolled vs
+    # 13.68 scanned vs 18.77 scan-unroll-4 ms/step, docs/RESULTS.md round-4
+    # table): stacked-param dynamic-slices defeat weight prefetch and the
+    # bwd saves stacked carries. Unrolled stays the training perf layout;
+    # scan_layers remains a compile-time/program-count option.
+    cfg.model.encoder.scan_layers = False
 
     batch_size = 12  # reference protocol (rnnt_common.py:9)
     frames = 768  # ~8.2 s per utterance at 48 kHz / hop 512

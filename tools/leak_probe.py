@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--reuse-batch", action="store_true",
                     help="device_put one batch once and reuse it every step")
     ap.add_argument("--no-donate", action="store_true")
+    ap.add_argument("--donate-batch", action="store_true",
+                    help="donate the batch buffers too (fresh per step)")
     ap.add_argument("--gc", action="store_true",
                     help="gc.collect() at every sample point — discriminates "
                          "cyclic-GC-held buffer handles from a hard leak")
@@ -82,7 +84,8 @@ def main():
         np_batch["texts"], np_batch["text_lens"])
     tx = make_optimizer(cfg.optim)
     state = TrainState.create(params, tx)
-    step_fn = make_train_step(model, tx, cfg, donate=not args.no_donate)
+    step_fn = make_train_step(model, tx, cfg, donate=not args.no_donate,
+                              donate_batch=args.donate_batch)
     rng = root_key(1, cfg.train.rng_impl)
 
     reused = device_view(dict(np_batch)) if args.reuse_batch else None

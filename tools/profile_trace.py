@@ -17,6 +17,11 @@ def main():
     ap.add_argument("--out", default="exp/trace")
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--scan", action="store_true",
+                    help="encoder.scan_layers: one scanned block body instead "
+                         "of num_blocks unrolled clones")
+    ap.add_argument("--scan_unroll", type=int, default=1,
+                    help="layer bodies per while-loop trip (scan_layers only)")
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--frames", type=int, default=768)
     ap.add_argument("--hlo", default="",
@@ -42,6 +47,8 @@ def main():
     cfg.model.encoder.static_chunk_size = 32
     cfg.model.fused_joint_loss = args.fused
     cfg.model.encoder.fused_attention = args.fused
+    cfg.model.encoder.scan_layers = args.scan
+    cfg.model.encoder.scan_unroll = args.scan_unroll
 
     model = Transducer(cfg.model)
     bsz, frames = args.batch, args.frames

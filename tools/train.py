@@ -111,7 +111,8 @@ def main():
         cfg.model.compute_dtype = "bfloat16"
         cfg.model.fused_joint_loss = True
         cfg.model.encoder.fused_attention = True
-        cfg.model.encoder.scan_layers = True
+        # scan_layers stays off: measured slower device-resident than the
+        # unrolled stack (docs/RESULTS.md round-4 layer-layout table)
     if args.config:
         cfg = layer_yaml(cfg, args.config)
     cfg = resolve(override(cfg, parse_overrides(args.set)))

@@ -104,6 +104,13 @@ class EncoderConfig:
     # conformer stacks only — squeezeformer/efficient_conformer layers are
     # heterogeneous and stay unrolled.
     scan_layers: bool = False
+    # lax.scan unroll factor for scan_layers: >1 unrolls that many layer
+    # bodies per while-loop trip. Measured on TPU v5e (docs/RESULTS.md
+    # round-4 layer-layout table): full unroll 10.76 ms/step, scan(1) 13.68,
+    # scan(4) 18.77 — stacked-param dynamic-slices defeat weight prefetch,
+    # so scan_layers is a compile-time/program-count option, not a step-time
+    # win; keep unroll at 1 when using it.
+    scan_unroll: int = 1
     # encoder family: conformer | squeezeformer | efficient_conformer
     encoder_type: str = "conformer"
     # squeezeformer time reduction / recovery layer indices

@@ -281,6 +281,7 @@ class ConformerLayerStack(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=c.num_blocks,
+                unroll=getattr(c, "scan_unroll", 1),
             )(block, ys, None)
             return ys, None
 
@@ -302,6 +303,7 @@ class ConformerLayerStack(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=c.num_blocks,
+            unroll=getattr(c, "scan_unroll", 1),
         )(block, ys, caches)
         return ys, new_caches
 

@@ -82,6 +82,7 @@ def make_train_step(
     donate: bool = True,
     remat: bool = False,
     state_shardings=None,
+    donate_batch: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -156,7 +157,16 @@ def make_train_step(
     if state_shardings is not None:
         jit_kwargs["in_shardings"] = (state_shardings, None, None)
         jit_kwargs["out_shardings"] = (state_shardings, None)
-    return jax.jit(train_step, donate_argnums=(0,) if donate else (), **jit_kwargs)
+    # donate_batch: the loop device_puts a FRESH batch every step and never
+    # touches it after the call, so its buffers are safe to donate. On the
+    # tunneled-TPU client this also sidesteps a per-execute host-RSS leak
+    # proportional to the non-donated input bytes (~the waves array per step
+    # — the campaign OOM; tools/leak_probe.py / docs/RESULTS.md "Host memory
+    # leak"). Callers that reuse a batch across steps must keep this off.
+    argnums = (0,) if donate else ()
+    if donate_batch:
+        argnums = argnums + (1,)
+    return jax.jit(train_step, donate_argnums=argnums, **jit_kwargs)
 
 
 def make_eval_step(model, cfg: Config) -> Callable:
