@@ -51,6 +51,9 @@ def main():
     cfg = Config()
     assert cfg.feature.sample_rate == 48000, "corpus protocol is 48 kHz"
     cfg.model.compute_dtype = "bfloat16"
+    # single-pass bf16 DFT/mel matmuls (vs 6-pass f32 emulation): deviation
+    # confined to near-silent bins (docs/RESULTS.md round-4 measurement)
+    cfg.feature.fbank_precision = "default"
     cfg.model.encoder.causal = True
     cfg.model.encoder.use_dynamic_chunk = True
     cfg.model.encoder.static_chunk_size = 32

@@ -3,7 +3,9 @@
 # (reference protocol: rnnt_eval.py:98-117 offline modes +
 # online_rnnt_eval.py:114-142 streaming greedy/beam).
 #
-#   bash tools/campaign_eval.sh exp/campaign/ckpt_best 4096 [extra --set ...]
+#   bash tools/campaign_eval.sh exp/campaign/ckpt_best 4096 [extra k=v ...]
+#   (extras are appended to the --set list as bare dotted k=v pairs — do NOT
+#   pass a second --set flag; argparse keeps only the last one)
 #
 # Runs every decode mode on the held-out dev split (seed 1) and the offline
 # modes on a train-split sample (seed 0) so held-in vs held-out CER is
@@ -17,6 +19,11 @@ shift $(( $# >= 2 ? 2 : $# ))
 DEVN=$(( N / 8 )); [ "$DEVN" -lt 4 ] && DEVN=4
 cd "$(dirname "$0")/.."
 FAILED=0
+# one max-size length bucket: eval compiles ONE program per mode instead of
+# up to frame_buckets x token_buckets (the dense beam programs compile for
+# minutes each — 512-utt ctc_prefix_beam fell from >20 min to 6m40s; the
+# ~2x padding compute is noise next to that)
+BUCKETS=(--set "data.frame_buckets=(1536,)" "data.token_buckets=(64,)")
 
 run() {
   echo "===== $* ====="
@@ -33,15 +40,15 @@ run() {
 
 for MODE in ctc_greedy ctc_prefix_beam rnnt_greedy rnnt_beam rnnt_rescoring; do
   run tools/evaluate.py --checkpoint "$CKPT" --workload online_rnnt \
-    --mode "$MODE" --synthetic "$DEVN" --seed 1 "$@"
+    --mode "$MODE" --synthetic "$DEVN" --seed 1 "${BUCKETS[@]}" "$@"
 done
 # streaming greedy + beam-4 (one CLI reports both + relative improvement)
 run tools/eval_streaming.py --checkpoint "$CKPT" \
-  --synthetic "$DEVN" --seed 1 "$@"
+  --synthetic "$DEVN" --seed 1 "${BUCKETS[@]}" "$@"
 # held-in train-split sample (seed 0): protocol expects train CER ~ 0
 for MODE in rnnt_greedy ctc_greedy; do
   run tools/evaluate.py --checkpoint "$CKPT" --workload online_rnnt \
-    --mode "$MODE" --synthetic "$DEVN" --seed 0 "$@"
+    --mode "$MODE" --synthetic "$DEVN" --seed 0 "${BUCKETS[@]}" "$@"
 done
 if [ "$FAILED" -ne 0 ]; then
   echo "===== sweep finished with $FAILED failed mode(s) ====="

@@ -47,6 +47,8 @@ def main():
     cfg.model.encoder.static_chunk_size = 32
     cfg.model.fused_joint_loss = args.fused
     cfg.model.encoder.fused_attention = args.fused
+    if args.fused:
+        cfg.feature.fbank_precision = "default"
     cfg.model.encoder.scan_layers = args.scan
     cfg.model.encoder.scan_unroll = args.scan_unroll
 

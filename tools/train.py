@@ -111,6 +111,7 @@ def main():
         cfg.model.compute_dtype = "bfloat16"
         cfg.model.fused_joint_loss = True
         cfg.model.encoder.fused_attention = True
+        cfg.feature.fbank_precision = "default"  # single-pass bf16 DFT/mel
         # scan_layers stays off: measured slower device-resident than the
         # unrolled stack (docs/RESULTS.md round-4 layer-layout table)
     if args.config:

@@ -147,7 +147,9 @@ def fbank(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     if cfg.use_pallas and jax.default_backend() == "tpu":
         from tpuasr.ops.fbank_pallas import fbank_frames_pallas
 
-        return fbank_frames_pallas(frames, ops.window, ops.cos, ops.sin, ops.mel, cfg.amin)
+        return fbank_frames_pallas(frames, ops.window, ops.cos, ops.sin, ops.mel,
+                                   cfg.amin,
+                                   getattr(cfg, "fbank_precision", "highest"))
     return _frames_to_logmel(
         frames, ops.window, ops.cos, ops.sin, ops.mel, cfg.power, cfg.amin
     )

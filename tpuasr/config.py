@@ -28,6 +28,13 @@ class FeatureConfig:
     center: bool = True  # reflect-pad n_fft//2 on both sides
     amin: float = 1e-10  # AmplitudeToDB clamp
     use_pallas: bool = True  # Pallas MXU kernel on TPU, jnp elsewhere
+    # MXU precision of the DFT/mel matmuls: "highest" = 6-pass bf16 emulation
+    # of f32 (torchaudio-parity exactness, the tests' contract); "default" =
+    # single-pass bf16 — ~6x faster on the MXU; deviation is confined to
+    # near-silent bins at the log floor (measured in docs/RESULTS.md, round
+    # 4). The flagship TPU training config sets "default"; the value is
+    # persisted in train.yaml so eval uses the same features as training.
+    fbank_precision: str = "highest"
 
 
 @dataclass

@@ -77,9 +77,29 @@ class RelPositionMultiHeadedAttention(nn.Module):
         b, t1, _ = x.shape
         h, dk = self.n_head, self.d_k
 
-        q = self.linear_q(x).reshape(b, t1, h, dk)
-        k = self.linear_k(x).reshape(b, t1, h, dk)
-        v = self.linear_v(x).reshape(b, t1, h, dk)
+        if self.is_initializing():
+            q = self.linear_q(x).reshape(b, t1, h, dk)
+            k = self.linear_k(x).reshape(b, t1, h, dk)
+            v = self.linear_v(x).reshape(b, t1, h, dk)
+        else:
+            # fused QKV: one [D, 3D] matmul instead of three [D, D] — the
+            # d256 model's per-op work is tiny on the MXU, so merging the
+            # projections at apply time cuts op count with bitwise-identical
+            # results (same contraction order per output column). Parameter
+            # layout is untouched (init still creates linear_{q,k,v}); the
+            # concat of the three kernels is a ~0.8 MB copy per call.
+            pq = self.linear_q.variables["params"]
+            pk = self.linear_k.variables["params"]
+            pv = self.linear_v.variables["params"]
+            w = jnp.concatenate(
+                [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1
+            ).astype(self.dtype)
+            bias = jnp.concatenate(
+                [pq["bias"], pk["bias"], pv["bias"]]
+            ).astype(self.dtype)
+            qkv = jnp.dot(x.astype(self.dtype), w) + bias
+            q, k, v = (z.reshape(b, t1, h, dk)
+                       for z in jnp.split(qkv, 3, axis=-1))
         if cache is not None:
             k = jnp.concatenate([cache[0], k], axis=1)  # [B, A+T1, H, dk]
             v = jnp.concatenate([cache[1], v], axis=1)

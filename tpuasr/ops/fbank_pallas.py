@@ -22,10 +22,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fbank_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref, out_ref, *, amin):
+def _fbank_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref, out_ref, *, amin,
+                  precision):
     # Mosaic lowers only DEFAULT and HIGHEST dot precisions (HIGH raises
-    # NotImplementedError); HIGHEST keeps the DFT at f32 accuracy.
-    hi = jax.lax.Precision.HIGHEST
+    # NotImplementedError). HIGHEST = 6-pass bf16 emulation of f32 (exact,
+    # torchaudio parity); DEFAULT = single-pass bf16, ~6x faster, deviation
+    # confined to near-silent bins (config.feature.fbank_precision).
+    hi = (jax.lax.Precision.HIGHEST if precision == "highest"
+          else jax.lax.Precision.DEFAULT)
     fw = frames_ref[:] * window_ref[:]  # [Tb, n_fft]
     re = jnp.dot(fw, cos_ref[:], preferred_element_type=jnp.float32, precision=hi)
     im = jnp.dot(fw, sin_ref[:], preferred_element_type=jnp.float32, precision=hi)
@@ -34,7 +38,7 @@ def _fbank_kernel(frames_ref, window_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
     out_ref[:] = 10.0 * jnp.log10(jnp.maximum(m, amin))
 
 
-@functools.partial(jax.jit, static_argnames=("amin",))
+@functools.partial(jax.jit, static_argnames=("amin", "precision"))
 def fbank_frames_pallas(
     frames: jnp.ndarray,  # [T, n_fft] float32
     window: np.ndarray,  # [n_fft]
@@ -42,6 +46,7 @@ def fbank_frames_pallas(
     sin: np.ndarray,  # [n_fft, n_freqs]
     mel: np.ndarray,  # [n_freqs, n_mels]
     amin: float = 1e-10,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     t, n_fft = frames.shape
     n_freqs, n_mels = mel.shape
@@ -62,7 +67,7 @@ def fbank_frames_pallas(
 
     grid = (t_pad // tile_t,)
     out = pl.pallas_call(
-        functools.partial(_fbank_kernel, amin=amin),
+        functools.partial(_fbank_kernel, amin=amin, precision=precision),
         out_shape=jax.ShapeDtypeStruct((t_pad, m_pad), jnp.float32),
         grid=grid,
         in_specs=[
