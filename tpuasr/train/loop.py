@@ -24,6 +24,17 @@ from tpuasr.train.optim import PlateauTracker
 from tpuasr.utils.rng import root_key
 
 
+def _host_rss_gb():
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024 ** 2
+    except OSError:
+        pass
+    return None
+
+
 @dataclass
 class LoopResult:
     state: object
@@ -180,6 +191,15 @@ def train_loop(
             writer.scalar("dev/loss", dev_loss, int(state.step))
             writer.scalar("train/learning_rate_scale", scale, int(state.step))
             msg += f" dev_loss {dev_loss:.4f} lr_scale {scale:.4f}"
+        rss = _host_rss_gb()
+        if rss is not None:
+            # operational guard for the tunnel client's per-execute host
+            # leak (docs/RESULTS.md "Host memory leak"): the campaign OOM
+            # was invisible until the kernel killed it — surface RSS at
+            # every epoch boundary so long runs can be sized/restarted.
+            # Appended AFTER dev_loss/lr_scale (campaign_report.py's
+            # boundary regex anchors on that prefix).
+            msg += f" rss {rss:.1f}G"
         writer.log(msg)
 
         if jax.process_index() == 0 and cfg.train.save_dir:
