@@ -42,8 +42,15 @@ def main():
     from tpuasr.streaming.chunkwise import chunk_windows, num_chunks
     from tpuasr.text import Tokenizer
     from tpuasr.train import TrainState, make_optimizer
-    from tpuasr.train.checkpoint import restore_checkpoint
+    from tpuasr.train.checkpoint import (
+        find_effective_config, restore_checkpoint_migrating,
+    )
 
+    if args.config is None:
+        # resolved post-mutation config persisted by train_loop (train.yaml)
+        args.config = find_effective_config(args.checkpoint)
+        if args.config:
+            print(f"effective config: {args.config}")
     cfg = load_yaml(args.config) if args.config else Config()
     cfg = override(cfg, parse_overrides(args.set))
     vocab_path = args.vocab or (cfg.data.vocab_file if os.path.exists(cfg.data.vocab_file) else None)
@@ -64,7 +71,9 @@ def main():
         np.array([64], np.int32), np.zeros((1, 4), np.int32), np.array([4], np.int32),
     )
     tx = make_optimizer(cfg.optim)
-    state = restore_checkpoint(args.checkpoint, TrainState.create(params0, tx))
+    state = restore_checkpoint_migrating(
+        args.checkpoint, TrainState.create(params0, tx),
+        cfg.model.encoder.num_blocks)
     params = state.params
 
     c = cfg.model

@@ -44,8 +44,15 @@ def main():
     from tpuasr.config import Config, load_yaml, override
     from tpuasr.export import export_streaming, load_exported
     from tpuasr.train import TrainState, make_optimizer
-    from tpuasr.train.checkpoint import restore_checkpoint
+    from tpuasr.train.checkpoint import (
+        find_effective_config, restore_checkpoint_migrating,
+    )
 
+    if args.config is None and args.checkpoint:
+        # resolved post-mutation config persisted by train_loop (train.yaml)
+        args.config = find_effective_config(args.checkpoint)
+        if args.config:
+            print(f"effective config: {args.config}")
     cfg = load_yaml(args.config) if args.config else Config()
     cfg = override(cfg, parse_overrides(args.set))
 
@@ -57,7 +64,9 @@ def main():
     )
     if args.checkpoint:
         tx = make_optimizer(cfg.optim)
-        state = restore_checkpoint(args.checkpoint, TrainState.create(params, tx))
+        state = restore_checkpoint_migrating(
+            args.checkpoint, TrainState.create(params, tx),
+            cfg.model.encoder.num_blocks)
         params = state.params
 
     manifest = export_streaming(
