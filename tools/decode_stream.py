@@ -32,7 +32,7 @@ def main():
 
     from tools.train import build_model, parse_overrides
     from tpuasr.audio import fbank
-    from tpuasr.config import Config, load_yaml, override
+    from tpuasr.config import Config, adapt_to_backend, load_yaml, override, resolve
     from tpuasr.data.bznsyp import read_wav
     from tpuasr.decode.rnnt_streaming import (
         init_streaming_beam_state, init_streaming_state, process_chunk,
@@ -46,13 +46,20 @@ def main():
         find_effective_config, restore_checkpoint_migrating,
     )
 
-    if args.config is None:
-        # resolved post-mutation config persisted by train_loop (train.yaml)
+    auto_cfg = args.config is None
+    if auto_cfg:
+        # train_loop persists the resolved post-mutation config next to the
+        # checkpoints; load it so eval needs no architecture flags
         args.config = find_effective_config(args.checkpoint)
         if args.config:
             print(f"effective config: {args.config}")
     cfg = load_yaml(args.config) if args.config else Config()
-    cfg = override(cfg, parse_overrides(args.set))
+    cfg = resolve(override(cfg, parse_overrides(args.set)))
+    if auto_cfg:
+        # auto-loaded train.yaml may carry TPU-only perf settings (bf16 +
+        # fused Pallas kernels) that would run in glacial interpret mode on
+        # the CPU backend — strip them there (ADVICE r4)
+        cfg = adapt_to_backend(cfg)
     vocab_path = args.vocab or (cfg.data.vocab_file if os.path.exists(cfg.data.vocab_file) else None)
     if vocab_path:
         tokenizer = Tokenizer(vocab_path)

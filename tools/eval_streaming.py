@@ -32,7 +32,7 @@ def main():
     enable_compilation_cache()  # TPUASR_COMPILE_CACHE=off to disable
 
     from tools.train import build_model, parse_overrides
-    from tpuasr.config import Config, load_yaml, override
+    from tpuasr.config import Config, adapt_to_backend, load_yaml, override, resolve
     from tpuasr.eval import evaluate_streaming
     from tpuasr.text import Tokenizer
     from tpuasr.train import TrainState, make_optimizer
@@ -40,13 +40,20 @@ def main():
         find_effective_config, restore_checkpoint_migrating,
     )
 
-    if args.config is None:
-        # resolved post-mutation config persisted by train_loop (train.yaml)
+    auto_cfg = args.config is None
+    if auto_cfg:
+        # train_loop persists the resolved post-mutation config next to the
+        # checkpoints; load it so eval needs no architecture flags
         args.config = find_effective_config(args.checkpoint)
         if args.config:
             print(f"effective config: {args.config}")
     cfg = load_yaml(args.config) if args.config else Config()
-    cfg = override(cfg, parse_overrides(args.set))
+    cfg = resolve(override(cfg, parse_overrides(args.set)))
+    if auto_cfg:
+        # auto-loaded train.yaml may carry TPU-only perf settings (bf16 +
+        # fused Pallas kernels) that would run in glacial interpret mode on
+        # the CPU backend — strip them there (ADVICE r4)
+        cfg = adapt_to_backend(cfg)
 
     if args.synthetic:
         from tpuasr.data.corpus import synthetic_pipeline

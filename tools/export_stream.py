@@ -41,20 +41,26 @@ def main():
     enable_compilation_cache()  # TPUASR_COMPILE_CACHE=off to disable
 
     from tools.train import build_model, parse_overrides
-    from tpuasr.config import Config, load_yaml, override
+    from tpuasr.config import Config, adapt_to_backend, load_yaml, override, resolve
     from tpuasr.export import export_streaming, load_exported
     from tpuasr.train import TrainState, make_optimizer
     from tpuasr.train.checkpoint import (
         find_effective_config, restore_checkpoint_migrating,
     )
 
-    if args.config is None and args.checkpoint:
+    auto_cfg = args.config is None
+    if auto_cfg and args.checkpoint:
         # resolved post-mutation config persisted by train_loop (train.yaml)
         args.config = find_effective_config(args.checkpoint)
         if args.config:
             print(f"effective config: {args.config}")
     cfg = load_yaml(args.config) if args.config else Config()
-    cfg = override(cfg, parse_overrides(args.set))
+    cfg = resolve(override(cfg, parse_overrides(args.set)))
+    if auto_cfg:
+        # auto-loaded train.yaml may carry TPU-only perf settings (bf16 +
+        # fused Pallas kernels) that would run in glacial interpret mode on
+        # the CPU backend — strip them there (ADVICE r4)
+        cfg = adapt_to_backend(cfg)
 
     model = build_model(cfg, "online_rnnt")
     params = model.init(

@@ -94,7 +94,9 @@ def main():
     enable_stack_dumps()
     enable_compilation_cache()  # TPUASR_COMPILE_CACHE=off to disable
 
-    from tpuasr.config import Config, layer_yaml, override, resolve, summarize
+    from tpuasr.config import (
+        Config, adapt_to_backend, layer_yaml, override, resolve, summarize,
+    )
     from tpuasr.parallel import make_mesh
     from tpuasr.text import Tokenizer
     from tpuasr.train import TrainState, make_optimizer, make_train_step
@@ -114,9 +116,29 @@ def main():
         cfg.feature.fbank_precision = "default"  # single-pass bf16 DFT/mel
         # scan_layers stays off: measured slower device-resident than the
         # unrolled stack (docs/RESULTS.md round-4 layer-layout table)
+    if args.resume and args.config is None:
+        # resume continuity (ADVICE r4 medium): without this, resuming a
+        # checkpoint trained fp32/'highest' on a TPU host would silently
+        # continue on the platform-default fast path (bf16 compute, fused
+        # kernels, single-pass fbank) — different numerics and different
+        # input features mid-run, with no warning since the param structure
+        # matches. Auto-load the persisted effective config like the eval
+        # CLIs do; an explicit --config still wins.
+        from tpuasr.train.checkpoint import find_effective_config
+
+        args.config = find_effective_config(args.resume)
+        auto_cfg = args.config is not None
+        if auto_cfg:
+            print(f"resume: effective config {args.config}")
+    else:
+        auto_cfg = False
     if args.config:
         cfg = layer_yaml(cfg, args.config)
     cfg = resolve(override(cfg, parse_overrides(args.set)))
+    if auto_cfg:
+        # auto-loaded configs may carry TPU-only perf settings — strip them
+        # on non-TPU backends (interpret-mode Pallas is glacial; ADVICE r4)
+        cfg = adapt_to_backend(cfg)
 
     if args.synthetic:
         from tpuasr.data.corpus import synthetic_pipeline

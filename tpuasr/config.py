@@ -422,6 +422,26 @@ def resolve(cfg: Config) -> Config:
     return cfg
 
 
+def adapt_to_backend(cfg: Config, backend: str | None = None) -> Config:
+    """Strip TPU-only performance settings when the current backend is not a
+    TPU. A persisted ``train.yaml`` from a flagship TPU run carries bf16
+    compute + Pallas fused kernels; on the CPU backend the fused paths fall
+    back to interpret mode — numerically correct but orders of magnitude
+    slower and a surprising behavior change for CLIs that previously built a
+    plain Config(). Architecture and feature-exactness fields are untouched
+    so the restored checkpoint still matches."""
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    if backend != "tpu":
+        cfg.model.compute_dtype = "float32"
+        cfg.model.fused_joint_loss = False
+        cfg.model.encoder.fused_attention = False
+        cfg.feature.use_pallas = False
+    return cfg
+
+
 def load_yaml(path: str) -> Config:
     import yaml  # PyYAML ships with the baked-in deps
 

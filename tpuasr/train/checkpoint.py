@@ -86,8 +86,14 @@ def restore_checkpoint_migrating(path: str, target: Any, num_blocks: int) -> Any
 
     try:
         return restore_checkpoint(path, target)
-    except Exception:
-        pass
+    except Exception as first_err:
+        # A genuine failure (missing/corrupt checkpoint, wrong num_blocks)
+        # must surface as ITS OWN error, not as a confusing mismatch from the
+        # last migration attempt below (ADVICE r4). Keep going only when the
+        # stored tree plausibly exists in the other layer layout.
+        if not os.path.exists(path):
+            raise
+        orig_err = first_err
 
     def has_scanned(d):
         return isinstance(d.get("layers"), dict) and "block" in d["layers"]
@@ -106,7 +112,11 @@ def restore_checkpoint_migrating(path: str, target: Any, num_blocks: int) -> Any
     except Exception:
         # checkpoint scanned <- target unrolled
         alt_target = _walk(target, stack)
-        restored = restore_checkpoint(path, alt_target)
+        try:
+            restored = restore_checkpoint(path, alt_target)
+        except Exception:
+            # neither layout matched: the original failure is the real cause
+            raise orig_err from None
         return _walk(restored, unstack)
 
 
