@@ -59,7 +59,8 @@ def main():
                         beam_size=args.beam_size, n_steps=cfg.streaming.n_steps)
         print(f"[{mode}] chunks={s.n_chunks} chunk_audio={s.chunk_audio_seconds:.2f}s "
               f"RTF mean={s.rtf_mean:.4f} p50={s.rtf_p50:.4f} p80={s.rtf_p80:.4f} "
-              f"p90={s.rtf_p90:.4f} p95={s.rtf_p95:.4f} max={s.rtf_max:.4f}")
+              f"p90={s.rtf_p90:.4f} p95={s.rtf_p95:.4f} max={s.rtf_max:.4f} "
+              f"| tenancy probe p50={s.probe_p50_ms:.2f}ms mean={s.probe_mean_ms:.2f}ms")
 
 
 if __name__ == "__main__":

@@ -209,8 +209,43 @@ def main():
         result = train_loop(cfg, model, state, train_pipe, dev_pipe,
                             mesh=mesh if len(jax.devices()) > 1 else None,
                             epochs=args.epochs, start_epoch=start_epoch,
-                            plateau_init=plateau_init)
+                            plateau_init=plateau_init,
+                            restart_hook=_make_restart_hook(cfg))
     print("final train loss:", result.train_losses[-1] if result.train_losses else None)
+
+
+def _make_restart_hook(cfg):
+    """Exec-restart for the train_loop host-RSS watchdog (train.max_rss_gb):
+    re-launch this exact command with --resume save_dir/latest so the run
+    survives the tunnel client's per-execute host leak instead of being
+    OOM-killed (the r04 campaign died at epoch 43 this way). Guard: if the
+    previous exec-restart happened at this same epoch (no progress since),
+    fall through and let the run take its chances rather than exec-loop."""
+
+    def hook(epoch):
+        prev = os.environ.get("TPUASR_RESTART_EPOCH")
+        if prev is not None and int(prev) >= epoch:
+            print(f"watchdog: no epoch progress since restart at {prev}; "
+                  "not restarting again")
+            return
+        argv, skip = [], False
+        for a in sys.argv:
+            if skip:
+                skip = False
+                continue
+            if a == "--resume":
+                skip = True
+                continue
+            if a.startswith("--resume="):
+                continue
+            argv.append(a)
+        argv += ["--resume", os.path.join(cfg.train.save_dir, "latest")]
+        os.environ["TPUASR_RESTART_EPOCH"] = str(epoch)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable] + argv)
+
+    return hook
 
 
 def _train_ctc(cfg, tokenizer, train_pipe, dev_pipe, args):

@@ -140,8 +140,17 @@ def _frames_to_logmel(frames, window, cos, sin, mel, power: float, amin: float):
     return 10.0 * jnp.log10(jnp.maximum(m, amin))
 
 
+def _decode_wire(waves: jnp.ndarray) -> jnp.ndarray:
+    """Undo the int16 wire format (tpuasr.data.prefetch.wire_waves): waves
+    may arrive as int16 PCM to halve host->device transfer bytes."""
+    if waves.dtype == jnp.int16:
+        return waves.astype(jnp.float32) * (1.0 / 32768.0)
+    return waves
+
+
 def fbank(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
-    """[N] float waveform -> [T, n_mels] log-mel features."""
+    """[N] float (or int16 PCM) waveform -> [T, n_mels] log-mel features."""
+    waveform = _decode_wire(waveform)
     ops = _operands(_cfg_key(cfg))
     frames = frame_signal(waveform, cfg.n_fft, cfg.hop_length, cfg.center)
     if cfg.use_pallas and jax.default_backend() == "tpu":
@@ -163,6 +172,6 @@ def fbank_batch(
     Padded samples produce garbage trailing frames; feat_lens marks the valid
     prefix (1 + len // hop, the torchaudio center=True frame count).
     """
-    feats = jax.vmap(lambda w: fbank(w, cfg))(waves)
+    feats = jax.vmap(lambda w: fbank(w, cfg))(_decode_wire(waves))
     feat_lens = 1 + wave_lens // cfg.hop_length
     return feats, feat_lens

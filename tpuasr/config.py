@@ -265,7 +265,31 @@ class DataConfig:
     frame_buckets: tuple = (256, 512, 768, 1024, 1536)
     token_buckets: tuple = (16, 32, 48, 64)
     shuffle_seed: int = 0
-    num_prefetch: int = 2
+    # device-prefetch depth for the train loop (tpuasr.data.prefetch).
+    # DEFAULT 0 = synchronous main-thread encode+device_put: measured
+    # 20 ms/step wall at the campaign shape (the async dispatch queue
+    # already overlaps device compute with the next batch's host work).
+    # depth > 0 moves batch assembly to a background thread — in theory
+    # hiding the ~12 ms of host work, in practice the worker's GIL-held
+    # numpy (batch memcpy, any f32->int16 conversion) convoys against jax
+    # dispatch and measured 10-25x SLOWER (250+ ms/step). Only enable with
+    # a corpus whose loader releases the GIL (e.g. native BatchLoader).
+    num_prefetch: int = 0
+    # wave wire format for host->device transfer: "float32" | "int16".
+    # int16 halves the per-step transfer bytes (and the tunnel client's
+    # per-execute host-RSS leak, which is proportional to input bytes —
+    # docs/RESULTS.md "Host memory leak"); it is LOSSLESS for WAV-sourced
+    # corpora (16-bit PCM) and ~-90 dB quantization noise for synthetic
+    # float waves. Decoded to f32/32768 on device inside fbank_batch.
+    wire_dtype: str = "float32"
+    # when nonzero, per-bucket batch sizes are derived from this audio-frame
+    # budget instead of batch_size: a bucket padded to F frames gets
+    # batch ~= batch_audio_frames // F (rounded down to batch_multiple).
+    # Short-utterance corpora then run big batches (fewer, fuller steps —
+    # the campaign's ~2.5 s utts at batch 12 used ~3% of the step the bench
+    # shape fills) while long buckets stay small.
+    batch_audio_frames: int = 0
+    batch_multiple: int = 1  # keep per-bucket batches divisible (DP sharding)
     # synthetic stand-in corpus (--synthetic N on the CLIs): token-count range
     # and per-token duration in feature frames. chord=two-tone encoding makes
     # all vocab_size tokens acoustically unique (dev CER can reach 0; a single
@@ -293,6 +317,12 @@ class TrainConfig:
     seed: int = 2026
     log_every: int = 50
     save_every_epochs: int = 5
+    # rolling "latest" checkpoint cadence (epochs). The device->host state
+    # pull costs ~18 s over the tunnel even batched (351 MB at ~18 MB/s) —
+    # at short-utterance campaign shapes that is comparable to the epoch's
+    # compute, so saving latest every epoch halves throughput. Crash
+    # recovery replays at most save_latest_every-1 epochs (resume is exact).
+    save_latest_every: int = 1
     # step-interval cross-validation + checkpoint inside the epoch (wenet
     # executor.py:93-116 save_interval); 0 = per-epoch only
     save_interval: int = 0
@@ -308,6 +338,17 @@ class TrainConfig:
     # measured ~6.4 ms/step cheaper than threefry on the flagship config);
     # "threefry2x32" = JAX default, bit-reproducible across backends.
     rng_impl: str = "rbg"
+    # donate the (fresh, prefetched) batch buffers to the train step: frees
+    # them for in-place reuse and sidesteps the tunnel client's per-execute
+    # host leak on the input path. The loop's batches are never touched
+    # after the call, so this is safe there; direct make_train_step callers
+    # that reuse batches must pass donate_batch=False.
+    donate_batch: bool = True
+    # host-RSS watchdog (docs/RESULTS.md "Host memory leak"): when > 0 and
+    # the process RSS crosses this many GiB at an epoch boundary, the loop
+    # checkpoints and exec-restarts itself (resume is exact) instead of
+    # running on until the kernel OOM-kills it. 0 = off.
+    max_rss_gb: float = 0.0
 
 
 @dataclass

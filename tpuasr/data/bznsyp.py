@@ -110,8 +110,13 @@ def read_text(path: str) -> dict[str, list[str]]:
     return out
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV file to float32 in [-1, 1] (mono: first channel)."""
+def read_wav(path: str, dtype: str = "float32") -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV file to float32 in [-1, 1] (mono: first channel).
+
+    ``dtype="int16"`` returns 16-bit PCM files as the RAW stored samples with
+    zero conversion work — the int16 wire format (cfg.data.wire_dtype) that
+    the device decodes via fbank's /32768 path. This is byte-exact with the
+    float path for 16-bit sources; other widths fall back to float->int16."""
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -119,8 +124,13 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         width = w.getsampwidth()
         raw = w.readframes(n)
     if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i2")
+        if ch > 1:
+            x = x.reshape(-1, ch)[:, 0]
+        if dtype == "int16":
+            return np.ascontiguousarray(x), sr
+        return x.astype(np.float32) / 32768.0, sr
+    if width == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
@@ -128,6 +138,8 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported sample width {width} in {path}")
     if ch > 1:
         x = x.reshape(-1, ch)[:, 0]
+    if dtype == "int16":
+        x = np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int16)
     return x, sr
 
 

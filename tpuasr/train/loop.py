@@ -17,7 +17,7 @@ import jax
 import numpy as np
 
 from tpuasr.config import Config
-from tpuasr.data.pipeline import device_view
+from tpuasr.data.prefetch import prefetch_to_device
 from tpuasr.train.checkpoint import epoch_path, latest_path, save_checkpoint
 from tpuasr.train.metrics import MetricsWriter, StepTimer
 from tpuasr.train.optim import PlateauTracker
@@ -51,13 +51,17 @@ def run_epoch(step_fn, state, batches: Iterable[dict], rng, writer: MetricsWrite
     # scalars until the epoch mean; only log points synchronize.
     losses = []
     step = int(state.step)
-    for batch in batches:
-        audio_s = float(np.sum(batch["wave_lens"])) / cfg.feature.sample_rate
-        db = device_view(batch)
-        if mesh is not None:
-            from tpuasr.parallel import shard_batch
+    put = None
+    if mesh is not None:
+        from tpuasr.parallel import shard_batch
 
-            db = shard_batch(db, mesh)
+        put = lambda db: shard_batch(db, mesh)
+    # depth-N device prefetch: batch assembly + transfer overlap the running
+    # step (the r04 campaign's 40x wall-vs-device gap was transfer-serialized)
+    for audio_s, db in prefetch_to_device(
+            batches, cfg.data.num_prefetch, put=put,
+            wire_dtype=cfg.data.wire_dtype,
+            sample_rate=cfg.feature.sample_rate):
         state, metrics = step_fn(state, db, rng)
         losses.append(metrics["loss"])
         timer.tick(audio_s)
@@ -78,18 +82,25 @@ def run_epoch(step_fn, state, batches: Iterable[dict], rng, writer: MetricsWrite
                 f"epoch {epoch} step {step} loss {float(metrics['loss']):.4f} "
                 f"({timer.audio_seconds_per_second:.1f} audio-s/s)"
             )
-    losses = [float(l) for l in losses]
+    # one batched device_get instead of a blocking RPC per step's scalar
+    losses = [float(l) for l in jax.device_get(losses)]
     return state, float(np.mean(losses)) if losses else float("nan")
 
 
-def run_eval(eval_fn, state, batches: Iterable[dict], rng, mesh=None) -> float:
-    losses, weights = [], []
-    for batch in batches:
-        db = device_view(batch)
-        if mesh is not None:
-            from tpuasr.parallel import shard_batch
+def run_eval(eval_fn, state, batches: Iterable[dict], rng, mesh=None,
+             cfg: Config | None = None) -> float:
+    put = None
+    if mesh is not None:
+        from tpuasr.parallel import shard_batch
 
-            db = shard_batch(db, mesh)
+        put = lambda db: shard_batch(db, mesh)
+    # same wire format as training so dev features match train features
+    wire = cfg.data.wire_dtype if cfg is not None else "float32"
+    depth = cfg.data.num_prefetch if cfg is not None else 0
+    sr = cfg.feature.sample_rate if cfg is not None else 48000
+    losses, weights = [], []
+    for _, db in prefetch_to_device(batches, depth, put=put, wire_dtype=wire,
+                                    sample_rate=sr):
         out = eval_fn(state.params, db, rng)
         losses.append(float(out["loss"]))
         weights.append(db["waves"].shape[0])
@@ -110,6 +121,7 @@ def train_loop(
     epochs: Optional[int] = None,
     start_epoch: int = 0,
     plateau_init: Optional[dict] = None,
+    restart_hook: Optional[Callable] = None,
 ) -> LoopResult:
     from tpuasr.train.optim import make_optimizer
     from tpuasr.train.step import make_eval_step, make_train_step
@@ -128,6 +140,13 @@ def train_loop(
             model, tx, cfg, donate=cfg.train.donate,
             remat=getattr(cfg.model.encoder, 'gradient_checkpointing', False),
             state_shardings=state_shardings,
+            # safe here: the prefetcher device_puts a FRESH batch per step
+            # (never reused after the call). Note the tunnel client's
+            # per-execute host leak is NOT fixed by donation (leak_probe:
+            # immune to reuse/donation/GC) — that is handled by the int16
+            # wire format (halves the leaked bytes) + the max_rss_gb
+            # watchdog below; donation just frees device buffers earlier.
+            donate_batch=cfg.train.donate_batch,
         )
     if eval_fn is None:
         eval_fn = make_eval_step(model, cfg)
@@ -164,7 +183,7 @@ def train_loop(
             cv_loss = None
             if dev_pipeline is not None:
                 cv_loss = run_eval(eval_fn, cur_state,
-                                   dev_pipeline.batches(epoch), rng, mesh)
+                                   dev_pipeline.batches(epoch), rng, mesh, cfg)
                 writer.scalar("cv/loss", cv_loss, step)
                 writer.log(f"epoch {epoch} step {step} cv_loss {cv_loss:.4f}")
             if jax.process_index() == 0 and cfg.train.save_dir:
@@ -184,7 +203,8 @@ def train_loop(
         train_losses.append(train_loss)
         msg = f"epoch {epoch} train_loss {train_loss:.4f}"
         if dev_pipeline is not None:
-            dev_loss = run_eval(eval_fn, state, dev_pipeline.batches(epoch), rng, mesh)
+            dev_loss = run_eval(eval_fn, state, dev_pipeline.batches(epoch), rng,
+                                mesh, cfg)
             dev_losses.append(dev_loss)
             scale = plateau.update(dev_loss)
             state = state.replace(lr_scale=state.lr_scale * 0 + scale)
@@ -202,6 +222,9 @@ def train_loop(
             msg += f" rss {rss:.1f}G"
         writer.log(msg)
 
+        rss_trip = (restart_hook is not None and cfg.train.max_rss_gb > 0
+                    and rss is not None and rss > cfg.train.max_rss_gb
+                    and epoch + 1 < n_epochs)
         if jax.process_index() == 0 and cfg.train.save_dir:
             os.makedirs(cfg.train.save_dir, exist_ok=True)
             info = {
@@ -214,9 +237,31 @@ def train_loop(
                             "bad_epochs": plateau.bad_epochs,
                             "scale": plateau.scale},
             }
-            save_checkpoint(latest_path(cfg.train.save_dir), state, info)
+            # "latest" every save_latest_every epochs (the device->host
+            # state pull is ~18 s on the tunnel — see TrainConfig), always
+            # at the final epoch, and always before a watchdog restart
+            if ((epoch + 1) % max(cfg.train.save_latest_every, 1) == 0
+                    or epoch + 1 == n_epochs or rss_trip):
+                save_checkpoint(latest_path(cfg.train.save_dir), state, info)
             if (epoch + 1) % cfg.train.save_every_epochs == 0:
                 save_checkpoint(epoch_path(cfg.train.save_dir, epoch), state, info)
+
+        if (rss_trip and jax.process_index() == 0 and cfg.train.save_dir):
+            # host-RSS watchdog (VERDICT r4 weak#7): the tunnel client leaks
+            # host memory per execute; the r04 campaign was OOM-killed at
+            # epoch 43 with only a log line as mitigation. The epoch
+            # checkpoint above was just written and resume is exact
+            # (epoch/step/plateau state all round-trip), so instead of
+            # running into the kernel kill we exec-restart with a fresh
+            # address space and continue.
+            writer.log(
+                f"epoch {epoch} rss {rss:.1f}G > train.max_rss_gb "
+                f"{cfg.train.max_rss_gb:.1f}: checkpointed, restarting"
+            )
+            writer.close()
+            restart_hook(epoch)
+            # a test hook may return instead of exec'ing: stop cleanly
+            return LoopResult(state, train_losses, dev_losses)
 
     writer.close()
     return LoopResult(state, train_losses, dev_losses)

@@ -158,11 +158,12 @@ def make_train_step(
         jit_kwargs["in_shardings"] = (state_shardings, None, None)
         jit_kwargs["out_shardings"] = (state_shardings, None)
     # donate_batch: the loop device_puts a FRESH batch every step and never
-    # touches it after the call, so its buffers are safe to donate. On the
-    # tunneled-TPU client this also sidesteps a per-execute host-RSS leak
-    # proportional to the non-donated input bytes (~the waves array per step
-    # — the campaign OOM; tools/leak_probe.py / docs/RESULTS.md "Host memory
-    # leak"). Callers that reuse a batch across steps must keep this off.
+    # touches it after the call, so its buffers are safe to donate (freed
+    # for reuse as soon as the step consumes them). The tunnel client's
+    # per-execute host-RSS leak is NOT affected — leak_probe measured it
+    # immune to donation; see data.wire_dtype + train.max_rss_gb for the
+    # actual mitigations. Callers that reuse a batch across steps must keep
+    # this off.
     argnums = (0,) if donate else ()
     if donate_batch:
         argnums = argnums + (1,)
