@@ -42,6 +42,12 @@ for MODE in ctc_greedy ctc_prefix_beam rnnt_greedy rnnt_beam rnnt_rescoring; do
   run tools/evaluate.py --checkpoint "$CKPT" --workload online_rnnt \
     --mode "$MODE" --synthetic "$DEVN" --seed 1 "${BUCKETS[@]}" "$@"
 done
+# RNN-T beam + per-frame CTC shallow fusion (prefix_beam_search.py:99-101
+# role): on the hard corpus the fusion delta vs plain rnnt_beam is a real
+# quality comparison (the clean chord corpus decodes 0.00% either way)
+run tools/evaluate.py --checkpoint "$CKPT" --workload online_rnnt \
+  --mode rnnt_beam --ctc_fusion_weight 0.3 --synthetic "$DEVN" --seed 1 \
+  "${BUCKETS[@]}" "$@"
 # streaming greedy + beam-4 (one CLI reports both + relative improvement)
 run tools/eval_streaming.py --checkpoint "$CKPT" \
   --synthetic "$DEVN" --seed 1 "${BUCKETS[@]}" "$@"

@@ -298,6 +298,16 @@ class DataConfig:
     synth_max_tokens: int = 12
     synth_frames_per_token: int = 24
     synth_chord: bool = True
+    # hard-corpus quality protocol (data/synthetic.py module docstring):
+    # mel-uniform confusable chords + per-instance mel jitter + SNR noise +
+    # gain jitter + Markov bigram text. Greedy CER stays measurably nonzero
+    # so beam/rescoring/fusion/SpecAugment quality deltas become visible
+    # (the clean chord corpus decodes at 0.00% in every mode).
+    synth_hard: bool = False
+    synth_snr_db: float = 10.0
+    synth_jitter_mel: float = 12.0
+    synth_gain_jitter_db: float = 6.0
+    synth_markov: bool = True
 
 
 @dataclass

@@ -108,6 +108,9 @@ def synthetic_pipeline(cfg: Config, n_utts: int = 64, seed: int = 0) -> LengthBu
         sample_rate=cfg.feature.sample_rate,
         samples_per_token=d.synth_frames_per_token * cfg.feature.hop_length,
         chord=d.synth_chord,
+        hard=d.synth_hard, snr_db=d.synth_snr_db,
+        jitter_mel=d.synth_jitter_mel, gain_jitter_db=d.synth_gain_jitter_db,
+        markov=d.synth_markov,
     )
     if d.wire_dtype == "int16":
         # encode ONCE at corpus build (also halves corpus RAM): per-step

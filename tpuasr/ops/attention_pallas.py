@@ -50,11 +50,20 @@ def _pad_to(x, axis, mult):
 
 
 def _head_attn(q, k, p, v, ub, vb, m, scale):
-    """One head in VMEM: q [T, dk]; k/p/v [S, dk]; ub/vb [1, dk]; m [T, S]."""
+    """One head in VMEM: q [T, dk]; k/p/v [S, dk]; ub/vb [1, dk]; m [T, S].
+
+    MXU shape note: dk = 64 on the flagship (4 heads x 64 of d=256), so
+    separate (q+u)@k^T and (q+v)@p^T matmuls contract over only half the
+    MXU's 128 lanes. Concatenating the two score terms along the feature
+    axis — [qu|qv] [T, 2dk] @ [k|p]^T [2dk, S] — computes their SUM in one
+    full-width contraction: same FLOPs, ~2x MXU utilization on the score
+    matmul (the largest in the kernel). Exactness: identical sum, fp32
+    accumulate either way."""
     qu = q + ub
     qv = q + vb
-    s = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
-    s = s + jnp.dot(qv, p.T, preferred_element_type=jnp.float32)
+    quv = jnp.concatenate([qu, qv], axis=1)      # [T, 2dk]
+    kp = jnp.concatenate([k, p], axis=1)         # [S, 2dk]
+    s = jnp.dot(quv, kp.T, preferred_element_type=jnp.float32)
     s = jnp.where(m, s * scale, _NEG_INF)
     a = jax.nn.softmax(s, axis=-1)
     return jnp.where(m, a, 0.0), qu, qv
@@ -108,10 +117,13 @@ def _bwd_kernel(q_ref, k_ref, p_ref, v_ref, u_ref, vb_ref, mask_ref, do_ref,
         # dqu = ds@k, dqv = ds@p -> dq = ds@(k + p) in one matmul
         dq_ref[0, :, sl] = jnp.dot(
             dsc, (k + p), preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = jnp.dot(
-            dsc.T, qu, preferred_element_type=jnp.float32).astype(dk_ref.dtype)
-        dp_ref[0, :, sl] += jnp.dot(
-            dsc.T, qv, preferred_element_type=jnp.float32).astype(dp_ref.dtype)
+        # dk = ds^T@qu and dp = ds^T@qv share the ds^T operand: one matmul
+        # against [qu|qv] doubles the output lanes (64 -> 128) like the
+        # forward's score concat — same FLOPs, full MXU width
+        dkdp = jnp.dot(dsc.T, jnp.concatenate([qu, qv], axis=1),
+                       preferred_element_type=jnp.float32)
+        dk_ref[0, :, sl] = dkdp[:, :dk].astype(dk_ref.dtype)
+        dp_ref[0, :, sl] += dkdp[:, dk:].astype(dp_ref.dtype)
         # bias grads: du = sum_t dqu = (sum_t ds) @ k (a [1, S] x [S, dk] dot)
         col = jnp.sum(ds, axis=0, keepdims=True).astype(k.dtype)  # [1, S]
         du_ref[:, sl] += jnp.dot(
