@@ -70,6 +70,10 @@ def main():
     # bwd saves stacked carries. Unrolled stays the training perf layout;
     # scan_layers remains a compile-time/program-count option.
     cfg.model.encoder.scan_layers = False
+    # Pallas fused FFN (round 5, ops/ffn_pallas.py): LN + both matmuls +
+    # swish + in-kernel PRNG dropout + scaled residual in one VMEM pass.
+    # Exactness: tests/test_fused_ffn.py. Env-gated for A/B tracing.
+    cfg.model.encoder.fused_ffn = os.environ.get("TPUASR_FUSED_FFN", "0") == "1"
 
     batch_size = 12  # reference protocol (rnnt_common.py:9)
     frames = 768  # ~8.2 s per utterance at 48 kHz / hop 512

@@ -73,3 +73,35 @@ t0=time.perf_counter()
 for _i in range(20): out=f(enc_p, pred_p)
 jax.block_until_ready(out); print("fused fwd avg ms", (time.perf_counter()-t0)/20*1e3, flush=True)
 print("FUSED TPU CHECK DONE", flush=True)
+
+# fused FFN kernel on real TPU (ops/ffn_pallas.py): deterministic parity vs
+# the module chain + dropout-mode finite-difference grad probe (the compiled
+# hardware-PRNG path — CPU CI only exercises the interpret/hash path)
+from tpuasr.ops.ffn_pallas import fused_ffn
+import flax.linen as _fnn
+d_, h_ = 256, 1024
+xr = jnp.asarray(rng.standard_normal((600, d_)).astype(np.float32))
+gsc = jnp.asarray(1 + 0.1*rng.standard_normal(d_).astype(np.float32))
+gbi = jnp.asarray(0.1*rng.standard_normal(d_).astype(np.float32))
+w1_ = jnp.asarray((rng.standard_normal((d_, h_))/16).astype(np.float32))
+b1_ = jnp.asarray(0.1*rng.standard_normal(h_).astype(np.float32))
+w2_ = jnp.asarray((rng.standard_normal((h_, d_))/32).astype(np.float32))
+b2_ = jnp.asarray(0.1*rng.standard_normal(d_).astype(np.float32))
+def _ffn_ref(x):
+    xn = _fnn.LayerNorm(epsilon=1e-6).apply({"params": {"scale": gsc, "bias": gbi}}, x)
+    hh = xn @ w1_ + b1_
+    return x + 0.5 * ((hh * jax.nn.sigmoid(hh)) @ w2_ + b2_)
+seed0 = jnp.zeros((), jnp.int32)
+out_f = fused_ffn(xr, gsc, gbi, w1_, b1_, w2_, b2_, seed0, 0.1, 0.5, True)
+print("fused ffn fwd maxdiff", float(jnp.abs(out_f - _ffn_ref(xr)).max()), flush=True)
+gf = jax.grad(lambda x: jnp.sum(fused_ffn(x, gsc, gbi, w1_, b1_, w2_, b2_, seed0, 0.1, 0.5, True)**2))(xr)
+gr = jax.grad(lambda x: jnp.sum(_ffn_ref(x)**2))(xr)
+print("fused ffn dx maxdiff", float(jnp.abs(gf - gr).max()), flush=True)
+# dropout mode: fwd/bwd mask agreement via finite differences on hardware
+seedd = jnp.asarray(77, jnp.int32)
+lossd = lambda x: jnp.sum(fused_ffn(x, gsc, gbi, w1_, b1_, w2_, b2_, seedd, 0.5, 1.0, False))
+gx = jax.grad(lossd)(xr)
+eps, probe = 1e-2, jnp.zeros_like(xr).at[3, 5].set(1.0)
+fd = (lossd(xr + eps*probe) - lossd(xr - eps*probe)) / (2*eps)
+print("fused ffn dropout fd vs grad", float(jnp.vdot(gx, probe)), float(fd), flush=True)
+print("FUSED FFN TPU CHECK DONE", flush=True)

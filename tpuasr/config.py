@@ -81,6 +81,13 @@ class EncoderConfig:
     # Requires attention_dropout_rate == 0 (reference protocol); the
     # streaming cached path is unaffected.
     fused_attention: bool = False
+    # Pallas fused FFN (tpuasr.ops.ffn_pallas): LN -> W1 -> swish -> dropout
+    # -> W2 -> dropout -> scaled residual in one VMEM pass with in-kernel
+    # hardware-PRNG dropout (masks regenerated in the recompute backward,
+    # never stored). Positionwise-swish FFNs only; parameter layout
+    # unchanged. Dropout bit-stream differs from the module path
+    # (distribution-identical, like rng_impl="rbg").
+    fused_ffn: bool = False
     normalize_before: bool = True
     macaron_style: bool = True
     use_cnn_module: bool = True

@@ -221,10 +221,44 @@ class ConformerBlock(nn.Module):
         ff_scale = 0.5 if c.macaron_style else 1.0
         drop = lambda y: self.dropout(y, deterministic=deterministic)
 
+        def ffn_branch(ffn_mod, norm_mod, h):
+            """h + ff_scale * drop(ffn(norm(h))) — via the fused Pallas FFN
+            (ops/ffn_pallas.py: LN+matmuls+swish+dropout+residual in one
+            VMEM pass, in-kernel PRNG dropout) when enabled and applicable,
+            else the module chain. Parameter layout identical either way."""
+            if (getattr(c, "fused_ffn", False) and not self.is_initializing()
+                    and getattr(c, "mlp_type", "position_wise_feed_forward")
+                    == "position_wise_feed_forward"
+                    and c.activation_type == "swish"):
+                from tpuasr.ops.ffn_pallas import fused_ffn
+
+                p = ffn_mod.variables["params"]
+                n = norm_mod.variables["params"]
+                b_, t_, d_ = h.shape
+                if not deterministic and c.dropout_rate > 0.0:
+                    # keep-masks drawn OUTSIDE the kernel from the step's
+                    # dropout stream (RBG-fast); the custom_vjp saves them
+                    # so fwd and bwd apply identical masks (the in-kernel
+                    # hardware PRNG is not reproducible across the two
+                    # kernel programs — measured, ops/ffn_pallas.py)
+                    k1, k2 = jax.random.split(self.make_rng("dropout"))
+                    keep = 1.0 - c.dropout_rate
+                    m1 = jax.random.bernoulli(
+                        k1, keep, (b_ * t_, c.linear_units)).astype(jnp.uint8)
+                    m2 = jax.random.bernoulli(
+                        k2, keep, (b_ * t_, d_)).astype(jnp.uint8)
+                else:
+                    m1 = m2 = None
+                y = fused_ffn(
+                    h.reshape(b_ * t_, d_), n["scale"], n["bias"],
+                    p["w_1"]["kernel"].astype(self.dtype), p["w_1"]["bias"],
+                    p["w_2"]["kernel"].astype(self.dtype), p["w_2"]["bias"],
+                    m1, m2, c.dropout_rate, ff_scale, deterministic)
+                return y.reshape(b_, t_, d_)
+            return h + ff_scale * drop(ffn_mod(norm_mod(h), deterministic))
+
         if c.macaron_style:
-            x = x + ff_scale * drop(
-                self.feed_forward_macaron(self.norm_ff_macaron(x), deterministic)
-            )
+            x = ffn_branch(self.feed_forward_macaron, self.norm_ff_macaron, x)
 
         att_in = self.norm_mha(x)
         x_att, new_att_cache = self.self_attn(
@@ -239,7 +273,7 @@ class ConformerBlock(nn.Module):
             )
             x = x + drop(y)
 
-        x = x + ff_scale * drop(self.feed_forward(self.norm_ff(x), deterministic))
+        x = ffn_branch(self.feed_forward, self.norm_ff, x)
 
         if c.use_cnn_module:
             x = self.norm_final(x)
